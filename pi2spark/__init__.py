@@ -1,0 +1,45 @@
+"""pi2spark — PySpark-native lakehouse maintenance engine with
+pi2schema-style crypto-shredding.
+
+A from-scratch Spark DataFrame engine (NOT a port) providing:
+
+- schema-metadata-driven PII protection specs (reference semantics:
+  /root/reference schema-spi, see ``pi2spark.spec``),
+- vectorized AES-GCM envelope encrypt/decrypt pandas UDFs with a
+  broadcast key registry (reference: crypto-spi + kafkakms provider,
+  see ``pi2spark.crypto`` / ``pi2spark.registry``),
+- an Iceberg-shaped table format (Parquet data + JSON snapshot
+  manifests) with snapshot isolation, file-stats pruning, bin-packing
+  compaction, Z-order/Hilbert clustering, MERGE-INTO crypto-shred
+  erasure, reference-counted snapshot expiry, and checkpoint-resumable
+  maintenance passes (``pi2spark.table`` / ``pi2spark.maintenance``),
+- training-data-pipeline operators over document/embedding tables:
+  dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  search, text analysis (``pi2spark.textops`` / ``pi2spark.vectorops``).
+"""
+
+from pi2spark.errors import (
+    InvalidEncryptedMessageError,
+    MissingCryptoMaterialsError,
+    SubjectIdentifierNotFoundError,
+    SubjectIdentifierRetrievalError,
+    TooManyEncryptionTargetFieldsError,
+    TooManySubjectIdentifiersError,
+    UnsupportedEncryptedFieldFormatError,
+    UnsupportedPersonalDataFieldFormatError,
+)
+from pi2spark.spec import ProtectionSpec
+
+__all__ = [
+    "ProtectionSpec",
+    "SubjectIdentifierNotFoundError",
+    "TooManySubjectIdentifiersError",
+    "SubjectIdentifierRetrievalError",
+    "TooManyEncryptionTargetFieldsError",
+    "UnsupportedPersonalDataFieldFormatError",
+    "UnsupportedEncryptedFieldFormatError",
+    "InvalidEncryptedMessageError",
+    "MissingCryptoMaterialsError",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,243 @@
+"""Vectorized AES-GCM envelope encryption/decryption.
+
+Spark-native re-expression of the reference crypto engine (SURVEY.md
+§2 A8/A9/A14/A17, §3.1/§3.2):
+
+- The reference encrypts record-at-a-time through Kafka interceptors
+  (``LocalEncryptor.java:29-46`` — AES/CBC/PKCS5Padding,
+  ``Ciphers.java:34-62``). Here the swap ops are **vectorized pandas
+  UDFs** over Arrow batches (BASELINE.json:input_hint mandates "no
+  per-row Python" — the heavy lifting happens inside OpenSSL via the
+  ``cryptography`` package, Arrow moves the batches), upgraded CBC→GCM
+  per BASELINE.json north_star; the transformation string + IV still
+  travel in the envelope exactly like ``EncryptedData.java:7-43``.
+- Per-subject key reuse inside each Arrow batch mirrors the
+  reference's materials-provider caching: the batch is grouped by
+  subject and one ``AESGCM`` object serves every value of that subject
+  (SURVEY.md §4.3 hot-spot note).
+- Keys come from a **broadcast** ``subject → key`` map (the global
+  table analogue, ``KafkaSecretKeyStore.java:207-215``).
+- Decrypt of a subject with no key is the *crypto-shredded* success
+  path: the scan emits a tombstone (``content = NULL, shredded = true``)
+  instead of the reference's ``MissingCryptoMaterialsException``
+  (``MostRecentMaterialsProvider.java:27-36``); ``strict=True``
+  restores the raising behavior for parity tests.
+- Null content → null envelope; empty-string content passes through
+  unencrypted (``JsonPersonalDataFieldDefinition.java:56-58`` empty
+  no-op; ``OneOfPersonalDataFieldDefinition.java:66-72`` unset no-op).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from pi2spark.errors import (
+    InvalidEncryptedMessageError,
+    MissingCryptoMaterialsError,
+    SubjectIdentifierRetrievalError,
+)
+from pi2spark.spec import ENVELOPE_SCHEMA, TRANSFORMATION, ProtectionSpec
+
+GCM_NONCE_BYTES = 12
+NOOP_TRANSFORMATION = "NOOP/EMPTY"  # empty-string passthrough marker
+KMS_ID = "pi2spark-kms"
+
+# Scan-output schema of one decrypted PII column: plaintext + shredded
+# flag (FIXTURES.md §4 case 4 — tombstone keeps the schema stable).
+_DECRYPT_RESULT = T.StructType(
+    [
+        T.StructField("content", T.StringType(), True),
+        T.StructField("shredded", T.BooleanType(), False),
+    ]
+)
+
+
+def _resolve_keys(keys) -> Mapping[str, bytes]:
+    """Accept either a plain dict or a pyspark Broadcast of one."""
+    return keys.value if hasattr(keys, "value") else keys
+
+
+def broadcast_keys(spark: SparkSession, key_map: Mapping[str, bytes]):
+    """Ship the registry's materialized key map to executors once per
+    pass — the Spark analogue of the reference's replicated global
+    key store (KafkaSecretKeyStore.java:207-215)."""
+    return spark.sparkContext.broadcast(dict(key_map))
+
+
+def make_encrypt_udf(keys, pii_column: str):
+    """Vectorized encrypt-swap (A8): (subject, plaintext) batches →
+    envelope struct batches."""
+
+    def _encrypt(subject: pd.Series, value: pd.Series) -> pd.DataFrame:
+        # imported inside the UDF: cryptography's Rust-backed classes
+        # cannot be cloudpickled by value into the closure
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        resolved = _resolve_keys(keys)
+        n = len(value)
+        out_subject = np.full(n, None, dtype=object)
+        out_kms = np.full(n, None, dtype=object)
+        out_data = np.full(n, None, dtype=object)
+        out_field = np.full(n, None, dtype=object)
+        out_transf = np.full(n, None, dtype=object)
+        out_iv = np.full(n, None, dtype=object)
+
+        frame = pd.DataFrame({"s": subject, "v": value})
+        if (frame["s"].isna() & frame["v"].notna()).any():
+            raise SubjectIdentifierRetrievalError(pii_column)
+        # Group by subject: one AESGCM object per subject per batch
+        # (per-subject key reuse, SURVEY.md §4.3).
+        for subj, grp in frame[frame["v"].notna()].groupby("s", sort=True):
+            key = resolved.get(subj)
+            if key is None:
+                raise MissingCryptoMaterialsError(str(subj))
+            aead = AESGCM(key)
+            idxs = grp.index.to_numpy()
+            vals = grp["v"].to_numpy()
+            nonce_pool = os.urandom(GCM_NONCE_BYTES * len(idxs))
+            out_subject[idxs] = subj
+            out_kms[idxs] = KMS_ID
+            out_field[idxs] = pii_column
+            for j, (i, v) in enumerate(zip(idxs, vals)):
+                if v == "":
+                    # empty no-op: passes through unencrypted
+                    out_data[i] = b""
+                    out_transf[i] = NOOP_TRANSFORMATION
+                    out_iv[i] = b""
+                else:
+                    nonce = nonce_pool[j * GCM_NONCE_BYTES : (j + 1) * GCM_NONCE_BYTES]
+                    out_data[i] = aead.encrypt(nonce, v.encode("utf-8"), None)
+                    out_transf[i] = TRANSFORMATION
+                    out_iv[i] = nonce
+        return pd.DataFrame(
+            {
+                "subject_id": out_subject,
+                "kms_id": out_kms,
+                "data": out_data,
+                "personal_data_field": out_field,
+                "used_transformation": out_transf,
+                "initialization_vector": out_iv,
+            }
+        )
+
+    return pandas_udf(ENVELOPE_SCHEMA)(_encrypt)
+
+
+def make_decrypt_udf(keys, strict: bool = False):
+    """Vectorized decrypt-swap (A9): envelope struct batches →
+    (plaintext, shredded) struct batches. Missing key → tombstone
+    (or raise when strict)."""
+
+    def _decrypt(env: pd.DataFrame) -> pd.DataFrame:
+        from cryptography.exceptions import InvalidTag
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        resolved = _resolve_keys(keys)
+        n = len(env)
+        content = np.full(n, None, dtype=object)
+        shredded = np.zeros(n, dtype=bool)
+        env = env.reset_index(drop=True)
+        present = env["subject_id"].notna()
+        for subj, grp in env[present].groupby("subject_id", sort=True):
+            key = resolved.get(subj)
+            aead = AESGCM(key) if key is not None else None
+            idxs = grp.index.to_numpy()
+            transfs = grp["used_transformation"].to_numpy()
+            datas = grp["data"].to_numpy()
+            ivs = grp["initialization_vector"].to_numpy()
+            for i, transf, data, iv in zip(idxs, transfs, datas, ivs):
+                if transf == NOOP_TRANSFORMATION:
+                    content[i] = ""
+                    continue
+                if aead is None:
+                    # crypto-shredded subject: tombstone
+                    if strict:
+                        raise MissingCryptoMaterialsError(str(subj))
+                    shredded[i] = True
+                    continue
+                try:
+                    content[i] = aead.decrypt(bytes(iv), bytes(data), None).decode("utf-8")
+                except InvalidTag as e:
+                    raise InvalidEncryptedMessageError(
+                        f"authentication failed for subject {subj}"
+                    ) from e
+                except UnicodeDecodeError as e:
+                    raise InvalidEncryptedMessageError(
+                        f"plaintext for subject {subj} is not valid UTF-8"
+                    ) from e
+        return pd.DataFrame({"content": content, "shredded": shredded})
+
+    return pandas_udf(_DECRYPT_RESULT)(_decrypt)
+
+
+def encrypt_table(df: DataFrame, spec: ProtectionSpec, keys) -> DataFrame:
+    """Encrypt-on-write stage (A12): replace each PII column with its
+    envelope struct column and add a ``shredded`` lineage flag.
+
+    Column order: non-PII columns unchanged, each PII column replaced
+    in place by ``<col>_enc``, plus trailing ``shredded``.
+    No-PII spec → returned unchanged apart from the flag (driver
+    short-circuit, A11)."""
+    if not spec.requires_encryption:
+        return df.withColumn("shredded", F.lit(False))
+    cols: list[Column] = []
+    for name in df.columns:
+        if name in spec.pii_columns:
+            enc = make_encrypt_udf(keys, name)
+            cols.append(
+                enc(F.col(spec.subject_column), F.col(name)).alias(spec.envelope_column(name))
+            )
+        else:
+            cols.append(F.col(name))
+    return df.select(*cols).withColumn("shredded", F.lit(False))
+
+
+def decrypt_table(df: DataFrame, spec: ProtectionSpec, keys, strict: bool = False) -> DataFrame:
+    """Decrypt-on-read stage (A13): restore plaintext PII columns from
+    envelope columns; rows of shredded subjects come back as
+    tombstones (``content NULL, shredded=true``). Rows already
+    tombstoned on disk (post-MERGE-shred, envelope NULL +
+    shredded=true) stay tombstones."""
+    if not spec.requires_encryption:
+        return df
+    out = df
+    stored_flag = (
+        F.coalesce(F.col("shredded"), F.lit(False)) if "shredded" in df.columns else F.lit(False)
+    )
+    shredded_acc = stored_flag
+    original_order = [
+        spec.envelope_column(c) if c in spec.pii_columns else c
+        for c in df.columns
+        if c != "shredded"
+    ]
+    for name in spec.pii_columns:
+        env_col = spec.envelope_column(name)
+        dec = make_decrypt_udf(keys, strict=strict)
+        res = f"__dec_{name}"
+        out = out.withColumn(res, dec(F.col(env_col)))
+        out = out.withColumn(
+            name,
+            F.when(stored_flag, F.lit(None).cast("string")).otherwise(F.col(f"{res}.content")),
+        )
+        shredded_acc = shredded_acc | F.coalesce(F.col(f"{res}.shredded"), F.lit(False))
+        out = out.withColumn("__shred_acc", shredded_acc)
+        shredded_acc = F.col("__shred_acc")
+        out = out.drop(env_col, res)
+    final_order = [
+        name if name in (spec.envelope_column(c) for c in spec.pii_columns) else name
+        for name in original_order
+    ]
+    # map envelope column names back to plaintext names, preserving order
+    restored = []
+    env_to_plain = {spec.envelope_column(c): c for c in spec.pii_columns}
+    for name in final_order:
+        restored.append(env_to_plain.get(name, name))
+    return out.select(*restored, F.col("__shred_acc").alias("shredded"))

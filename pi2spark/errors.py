@@ -1,0 +1,128 @@
+"""Typed error taxonomy.
+
+Mirrors the reference's exception hierarchy (SURVEY.md §2 A24;
+reference files under
+``/root/reference/schema-spi/src/main/java/pi2schema/schema/**`` and
+``/root/reference/crypto-spi/src/main/java/pi2schema/crypto/``),
+re-expressed as Python exceptions with the same trigger conditions:
+
+- ``SubjectIdentifierNotFoundError`` — a protection spec with PII
+  columns but zero subject-identifier columns
+  (``SiblingSubjectIdentifierFinder.java:25-31``).
+- ``TooManySubjectIdentifiersError`` — more than one subject-identifier
+  column (``SiblingSubjectIdentifierFinder.java:32-36``).
+- ``SubjectIdentifierRetrievalError`` — a row's subject value is null
+  at encrypt time (``JsonSubjectIdentifierFieldDefinition.java:23-37``).
+- ``TooManyEncryptionTargetFieldsError`` /
+  ``EncryptionTargetFieldNotFoundError`` — malformed envelope layout
+  (``OneOfPersonalDataFieldDefinition.java:135-158``).
+- ``UnsupportedPersonalDataFieldFormatError`` — PII column of a
+  non-encryptable type (``OneOfPersonalDataFieldDefinition.java:53-62``).
+- ``UnsupportedEncryptedFieldFormatError`` — scan found a malformed
+  envelope (``OneOfPersonalDataFieldDefinition.java:98-106``).
+- ``InvalidEncryptedMessageError`` — decrypt produced undecodable
+  plaintext / auth-tag failure (``OneOfPersonalDataFieldDefinition.java:116-127``).
+- ``MissingCryptoMaterialsError`` — no key for a subject
+  (``MissingCryptoMaterialsException.java:3-14``); in this engine the
+  *scan* path maps this to a tombstone (crypto-shredded subject), and
+  only explicit strict-mode decryption raises it.
+- ``UnconfiguredError`` — engine misconfiguration
+  (``UnconfiguredException`` analogue).
+"""
+
+from __future__ import annotations
+
+
+class Pi2SparkError(Exception):
+    """Base class for all pi2spark errors."""
+
+
+class SchemaNotFoundError(Pi2SparkError):
+    """No schema/protection metadata could be derived for a table."""
+
+
+class SubjectIdentifierNotFoundError(Pi2SparkError):
+    """PII columns declared but no subject-identifier column found."""
+
+    def __init__(self, container: str):
+        super().__init__(
+            f"No subject identifier column found in {container} while at least "
+            "one is required for personal-data protection"
+        )
+        self.container = container
+
+
+class TooManySubjectIdentifiersError(Pi2SparkError):
+    """More than one subject-identifier column (exactly one required)."""
+
+    def __init__(self, container: str, count: int):
+        super().__init__(
+            f"Found {count} subject identifier columns in {container} "
+            "while exactly one is required"
+        )
+        self.container = container
+        self.count = count
+
+
+class SubjectIdentifierRetrievalError(Pi2SparkError):
+    """A row's subject-identifier value was null/unreadable."""
+
+    def __init__(self, column: str):
+        super().__init__(f"Could not retrieve subject identifier from column {column}")
+        self.column = column
+
+
+class EncryptionTargetFieldNotFoundError(Pi2SparkError):
+    """No envelope slot available for a PII column."""
+
+
+class TooManyEncryptionTargetFieldsError(Pi2SparkError):
+    """More than one envelope slot for a single PII column."""
+
+    def __init__(self, container: str, count: int):
+        super().__init__(
+            f"Found {count} encryption target fields in {container} "
+            "while exactly one is required"
+        )
+
+
+class UnsupportedPersonalDataFieldFormatError(Pi2SparkError):
+    """PII column is not a string/binary type and cannot be encrypted."""
+
+    def __init__(self, column: str, dtype: str):
+        super().__init__(
+            f"Personal data column {column} of type {dtype} is not encryptable "
+            "(expected string or binary)"
+        )
+
+
+class UnsupportedEncryptedFieldFormatError(Pi2SparkError):
+    """Encrypted column does not carry the expected envelope struct."""
+
+    def __init__(self, column: str, dtype: str):
+        super().__init__(
+            f"Column {column} of type {dtype} does not carry an "
+            "EncryptedPersonalData envelope struct"
+        )
+
+
+class InvalidEncryptedMessageError(Pi2SparkError):
+    """Ciphertext failed authentication or decoded to invalid plaintext."""
+
+
+class MissingCryptoMaterialsError(Pi2SparkError):
+    """No decryption materials for a subject (crypto-shredded)."""
+
+    def __init__(self, subject_id: str):
+        super().__init__(
+            f"Decrypting materials for the subject {subject_id} was not found"
+        )
+        self.subject_id = subject_id
+
+
+class UnconfiguredError(Pi2SparkError):
+    """Required engine configuration missing."""
+
+
+class ConcurrentCommitError(Pi2SparkError):
+    """Optimistic-concurrency failure: table version advanced under us."""

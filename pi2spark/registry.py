@@ -1,0 +1,174 @@
+"""KeyRegistry — per-subject AES-256 key store + command log.
+
+Spark-native re-expression of the reference KMS (SURVEY.md §2
+A15-A21, §3.3):
+
+- The reference keeps ``Subject → [SubjectCryptographicMaterial]`` in a
+  Kafka Streams state store fed by a REGISTER/FORGET command topic
+  (``KafkaSecretKeyStore.java:195-263``,
+  ``kms/kafka_provider.proto:6-21``) and replicates it to every node as
+  a *global table* (``KafkaSecretKeyStore.java:207-215``). Here the
+  registry is a small JSON-lines command log owned by the driver; the
+  materialized ``subject → latest key`` map is rebuilt by a
+  deterministic fold over the log and shipped to executors via
+  ``SparkContext.broadcast`` — the canonical Spark analogue of a
+  global table.
+- REGISTER is idempotent-if-present (``KmsCommandHandler`` REGISTER
+  branch, ``KafkaSecretKeyStore.java:236-246``: appends only when the
+  materials list is empty — "no key versioning implemented yet").
+- FORGET is *declared but unimplemented* in the reference
+  (``KafkaSecretKeyStore.java:247-250``: logs "Forgotten feature not
+  implemented yet"). This engine completes it: FORGET removes the
+  subject's materials, making all of its ciphertext permanently
+  unrecoverable (crypto-shredding), and the maintenance layer follows
+  up with a MERGE-shred pass (see ``pi2spark.maintenance``).
+- Latest-key selection mirrors ``MostRecentMaterialsProvider.java:39-46``
+  (last registered material wins).
+- Missing key on decrypt → ``MissingCryptoMaterialsError`` in strict
+  mode (``MissingCryptoMaterialsException.java``), tombstone in scan
+  mode (see ``pi2spark.crypto``).
+
+The command log is the source of truth (event-sourced, like the
+reference's command topic); the fold is pure, so any two replays agree.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+REGISTER = "REGISTER"
+FORGET = "FORGET"
+
+AES_KEY_BITS = 256
+ALGORITHM = "AES"
+
+
+@dataclass(frozen=True)
+class Material:
+    """One key version for one subject — port of
+    ``SubjectCryptographicMaterial`` (kms/kafka_provider.proto:52-60)."""
+
+    material_id: str
+    subject_id: str
+    key: bytes
+    algorithm: str = ALGORITHM
+
+
+class KeyRegistry:
+    """Event-sourced per-subject key registry.
+
+    Persistence: one JSON-lines file (``commands.jsonl``). Each line is
+    a command ``{ts_ord, subject_id, command, material_id, key_b64,
+    algorithm}`` mirroring the reference command vocabulary
+    (kms/kafka_provider.proto:6-21). State = fold(commands).
+    """
+
+    def __init__(self, path: str | None = None):
+        self._path = path
+        self._commands: list[dict] = []
+        # subject -> list[Material]  (ordered; latest = [-1])
+        self._materials: dict[str, list[Material]] = {}
+        if path and os.path.exists(path):
+            with open(path, "r", encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        self._apply(json.loads(line), record=False)
+                        self._commands.append(json.loads(line))
+
+    # ---- command fold (the Kafka Streams aggregate, batch form) ----
+
+    def _apply(self, cmd: dict, record: bool = True) -> None:
+        subject = cmd["subject_id"]
+        if cmd["command"] == REGISTER:
+            existing = self._materials.setdefault(subject, [])
+            # Idempotent-if-present: reference appends only when empty
+            # (KafkaSecretKeyStore.java:236-246).
+            if not existing:
+                existing.append(
+                    Material(
+                        material_id=cmd["material_id"],
+                        subject_id=subject,
+                        key=base64.b64decode(cmd["key_b64"]),
+                        algorithm=cmd.get("algorithm", ALGORITHM),
+                    )
+                )
+        elif cmd["command"] == FORGET:
+            # Completes the reference's unimplemented branch
+            # (KafkaSecretKeyStore.java:247-250).
+            self._materials.pop(subject, None)
+        else:
+            raise ValueError(f"unknown KMS command {cmd['command']!r}")
+        if record:
+            self._commands.append(cmd)
+            if self._path:
+                with open(self._path, "a", encoding="utf-8") as fh:
+                    fh.write(json.dumps(cmd) + "\n")
+
+    # ---- public API ----
+
+    def register(self, subject_id: str) -> Material:
+        """Get-or-create (upsert) — ``InMemoryKms.computeIfAbsent``
+        (InMemoryKms.java:32-39) /
+        ``retrieveOrCreateCryptoMaterialsFor`` (KafkaSecretKeyStore.java:94-107)."""
+        existing = self._materials.get(subject_id)
+        if existing:
+            return existing[-1]
+        key = AESGCM.generate_key(bit_length=AES_KEY_BITS)
+        cmd = {
+            "ts_ord": len(self._commands),
+            "subject_id": subject_id,
+            "command": REGISTER,
+            "material_id": str(uuid.uuid4()),
+            "key_b64": base64.b64encode(key).decode("ascii"),
+            "algorithm": ALGORITHM,
+        }
+        self._apply(cmd)
+        return self._materials[subject_id][-1]
+
+    def register_all(self, subject_ids) -> None:
+        for s in subject_ids:
+            self.register(s)
+
+    def forget(self, subject_id: str) -> None:
+        """Delete a subject's materials (crypto-shred). Appends a FORGET
+        command; the key becomes unrecoverable on every replay too."""
+        cmd = {
+            "ts_ord": len(self._commands),
+            "subject_id": subject_id,
+            "command": FORGET,
+            "material_id": None,
+            "key_b64": None,
+            "algorithm": None,
+        }
+        self._apply(cmd)
+
+    def latest_key(self, subject_id: str) -> bytes | None:
+        """Most-recent material (MostRecentMaterialsProvider.java:39-46);
+        None ⇒ subject is crypto-shredded (or never registered)."""
+        mats = self._materials.get(subject_id)
+        return mats[-1].key if mats else None
+
+    def key_map(self) -> dict[str, bytes]:
+        """Materialized ``subject → latest key`` map, ready for
+        ``sc.broadcast`` (global-table analogue,
+        KafkaSecretKeyStore.java:207-215)."""
+        return {s: m[-1].key for s, m in self._materials.items() if m}
+
+    def subjects(self) -> set[str]:
+        return set(self._materials.keys())
+
+    def forgotten_subjects(self) -> set[str]:
+        """Subjects with a FORGET command and no later REGISTER."""
+        live = self.subjects()
+        seen = {c["subject_id"] for c in self._commands}
+        return seen - live
+
+    def __len__(self) -> int:
+        return len(self._materials)

@@ -1,0 +1,138 @@
+"""ProtectionSpec — the compiled per-table personal-data-protection plan.
+
+Spark-native analogue of the reference's ``PersonalMetadata`` +
+provider chain (SURVEY.md §2 A3/A4/A5/A11):
+
+- PII markers live in Spark ``StructField.metadata`` — the direct
+  analogue of Avro field properties
+  (``schema-providers-avro/.../AvroUnionPersonalDataFieldDefinition.java:99-101``)
+  and JSON-Schema extensions
+  (``JsonPersonalDataFieldDefinition.java:34,49-51``):
+  ``{"pi2schema-personal-data": True}`` marks a PII column,
+  ``{"pi2schema-subject-identifier": True}`` marks the subject column.
+- Compilation walks ``df.schema.fields`` once on the driver (the
+  reference walks the protobuf Descriptor / Avro Schema,
+  ``ProtobufPersonalMetadataProvider.java:20-34``) and enforces the
+  exactly-one-subject-identifier cardinality rule
+  (``SiblingSubjectIdentifierFinder.java:25-36``).
+- ``requires_encryption`` is the driver short-circuit analogue of
+  ``PersonalMetadata.requiresEncryption`` (``ProtobufPersonalMetadata.java:20-22``).
+
+The spec is a plain frozen dataclass so it serializes into UDF
+closures trivially.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable
+
+from pyspark.sql import types as T
+
+from pi2spark.errors import (
+    SubjectIdentifierNotFoundError,
+    TooManySubjectIdentifiersError,
+    UnsupportedPersonalDataFieldFormatError,
+)
+
+PERSONAL_DATA_KEY = "pi2schema-personal-data"
+SUBJECT_IDENTIFIER_KEY = "pi2schema-subject-identifier"
+
+# Only string/binary payloads are encryptable — the reference encrypts
+# serialized sub-messages or strings (SURVEY.md §1.3,
+# OneOfPersonalDataFieldDefinition.java:53-62).
+_ENCRYPTABLE_TYPES = (T.StringType, T.BinaryType)
+
+
+@dataclass(frozen=True)
+class ProtectionSpec:
+    """Protection plan for one table: which column identifies the data
+    subject and which columns hold personal data."""
+
+    subject_column: str
+    pii_columns: tuple[str, ...]
+    table_name: str = "table"
+    # Envelope column name per PII column: `<col>_enc` by convention.
+    envelope_suffix: str = "_enc"
+
+    @property
+    def requires_encryption(self) -> bool:
+        return len(self.pii_columns) > 0
+
+    def envelope_column(self, pii_column: str) -> str:
+        return f"{pii_column}{self.envelope_suffix}"
+
+    @classmethod
+    def from_schema(cls, schema: T.StructType, table_name: str = "table") -> "ProtectionSpec":
+        """Compile a spec from StructField metadata markers.
+
+        Raises the reference's cardinality errors:
+        zero subject columns (with >=1 PII column) →
+        ``SubjectIdentifierNotFoundError``; more than one →
+        ``TooManySubjectIdentifiersError``; a PII column of
+        non-encryptable type → ``UnsupportedPersonalDataFieldFormatError``.
+        """
+        subjects: list[str] = []
+        pii: list[str] = []
+        for f in schema.fields:
+            md = f.metadata or {}
+            if md.get(SUBJECT_IDENTIFIER_KEY):
+                subjects.append(f.name)
+            if md.get(PERSONAL_DATA_KEY):
+                if not isinstance(f.dataType, _ENCRYPTABLE_TYPES):
+                    raise UnsupportedPersonalDataFieldFormatError(
+                        f.name, f.dataType.simpleString()
+                    )
+                pii.append(f.name)
+
+        if len(subjects) > 1:
+            raise TooManySubjectIdentifiersError(table_name, len(subjects))
+        if pii and not subjects:
+            raise SubjectIdentifierNotFoundError(table_name)
+        subject = subjects[0] if subjects else ""
+        return cls(subject_column=subject, pii_columns=tuple(pii), table_name=table_name)
+
+    @classmethod
+    def for_source_files(cls) -> "ProtectionSpec":
+        """The canonical spec for the (repo, path, commit, lang, content)
+        source-code table (BASELINE.json:input_hint / FIXTURES.md §1):
+        ``repo`` is the data subject, ``content`` is personal data."""
+        return cls(subject_column="repo", pii_columns=("content",), table_name="source_files")
+
+
+def annotate_schema(
+    schema: T.StructType,
+    subject_column: str | None,
+    pii_columns: Iterable[str] = (),
+) -> T.StructType:
+    """Return a copy of ``schema`` with pi2schema protection markers in
+    the field metadata (the declared-in-schema classification the
+    reference mandates, README.md:15-16 'Explicit data classification')."""
+    pii = set(pii_columns)
+    fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if f.name == subject_column:
+            md[SUBJECT_IDENTIFIER_KEY] = True
+        if f.name in pii:
+            md[PERSONAL_DATA_KEY] = True
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+    return T.StructType(fields)
+
+
+# On-disk envelope struct — port of the reference wire envelope
+# (encrypted_personal_data.proto:7-24; avro/json variants identical,
+# FIXTURES.md §2). `personal_data_field` generalizes the protobuf
+# field *number* to a column *name*.
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("subject_id", T.StringType(), True),
+        T.StructField("kms_id", T.StringType(), True),
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("personal_data_field", T.StringType(), True),
+        T.StructField("used_transformation", T.StringType(), True),
+        T.StructField("initialization_vector", T.BinaryType(), True),
+    ]
+)
+
+TRANSFORMATION = "AES/GCM/NoPadding"

@@ -1,0 +1,186 @@
+"""Deterministic synthetic source-code table generator.
+
+Produces the exact input shape mandated by ``BASELINE.json:input_hint``
+/ FIXTURES.md §1: ``(repo:string, path:string, commit:string,
+lang:string, content:string)``, with
+
+- one **mega-repo** holding ~30% of rows (skew profile, FIXTURES.md §1
+  / BASELINE.json:north_star "skew from mega-repos"),
+- content lengths log-uniform in [18, 50000] (size spectrum of the
+  reference's roundtrip suite, ``LocalCryptoTest.java:29``),
+- full determinism independent of partitioning: every column derives
+  from the row id through a splitmix64 bit-mix, never a sequential RNG,
+  so the same id yields the same row on any executor layout (needed
+  for checkpoint/resume determinism, SURVEY.md §7 hard-part 4).
+
+Generation itself is distributed (``spark.range(n).mapInPandas``) —
+no driver-side materialization, scales with the cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from pi2spark.spec import annotate_schema
+
+LANGS = np.array(["python", "java", "kotlin", "go", "rust", "js", "md", "yaml"])
+EXT = {
+    "python": "py",
+    "java": "java",
+    "kotlin": "kt",
+    "go": "go",
+    "rust": "rs",
+    "js": "js",
+    "md": "md",
+    "yaml": "yaml",
+}
+_SEGMENTS = np.array(
+    [
+        "src", "main", "test", "core", "util", "api", "impl", "internal",
+        "service", "model", "handler", "config", "pkg", "lib", "docs",
+        "engine", "io", "net", "store", "codec",
+    ]
+)
+_WORDS = (
+    "def class import return self value data table spark partition shuffle "
+    "broadcast encrypt decrypt subject key schema column snapshot manifest "
+    "commit merge compact zorder hilbert morton stats prune scan write read "
+    "for while if else try except raise yield lambda async await none true false"
+).split()
+
+MIN_LEN, MAX_LEN = 18, 50_000
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 bit-mix (public-domain algorithm)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return x ^ (x >> np.uint64(31))
+
+
+def _mix(ids: np.ndarray, stream: int, seed: int) -> np.ndarray:
+    return _splitmix64(ids ^ _splitmix64(np.uint64(seed * 1_000_003 + stream)))
+
+
+def _build_corpus(seed: int, size: int = 1 << 20) -> str:
+    """Deterministic ~1 MiB pseudo-source corpus; content values are
+    slices of it, so generation is O(1) per row regardless of length."""
+    rng = np.random.default_rng(seed)
+    words = rng.choice(_WORDS, size // 6)
+    out, line = [], []
+    for i, w in enumerate(words):
+        line.append(w)
+        if i % 9 == 8:
+            out.append(" ".join(line))
+            line = []
+    corpus = "\n".join(out)
+    return (corpus * ((size // len(corpus)) + 1))[:size]
+
+
+def synthesize_source_files(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    n_orgs: int = 20,
+    repos_per_org: int = 25,
+    mega_share: float = 0.30,
+    partitions: int | None = None,
+    max_len: int = MAX_LEN,
+) -> DataFrame:
+    """Distributed deterministic generator of the source_files table."""
+    corpus = _build_corpus(seed)
+    corpus_len = len(corpus)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy().astype(np.uint64)
+            n = len(ids)
+            u_repo = _mix(ids, 1, seed)
+            u_org = _mix(ids, 2, seed)
+            u_lang = _mix(ids, 3, seed)
+            u_len = _mix(ids, 4, seed)
+            u_off = _mix(ids, 5, seed)
+            u_depth = _mix(ids, 6, seed)
+            c1, c2, c3 = _mix(ids, 7, seed), _mix(ids, 8, seed), _mix(ids, 9, seed)
+
+            mega = (u_repo % np.uint64(1000)) < np.uint64(int(mega_share * 1000))
+            org = (u_org % np.uint64(n_orgs)).astype(np.int64)
+            rep = (u_repo % np.uint64(repos_per_org)).astype(np.int64)
+            repo = np.where(
+                mega,
+                "org0/megarepo",
+                np.char.add(
+                    np.char.add("org", org.astype(str)),
+                    np.char.add("/repo", rep.astype(str)),
+                ),
+            )
+
+            lang = LANGS[(u_lang % np.uint64(len(LANGS))).astype(np.int64)]
+
+            # log-uniform lengths in [MIN_LEN, max_len]
+            frac = u_len.astype(np.float64) * (1.0 / 18446744073709551616.0)
+            ln_min, ln_max = np.log(MIN_LEN), np.log(max_len)
+            length = np.exp(ln_min + frac * (ln_max - ln_min)).astype(np.int64)
+
+            depth = 1 + (u_depth % np.uint64(5)).astype(np.int64)
+            seg_ix = [
+                (_mix(ids, 10 + d, seed) % np.uint64(len(_SEGMENTS))).astype(np.int64)
+                for d in range(6)
+            ]
+            fname_ix = (_mix(ids, 20, seed) % np.uint64(9999)).astype(np.int64)
+
+            offsets = (u_off % np.uint64(corpus_len)).astype(np.int64)
+
+            paths = np.empty(n, dtype=object)
+            contents = np.empty(n, dtype=object)
+            commits = np.empty(n, dtype=object)
+            for i in range(n):
+                d = depth[i]
+                segs = [_SEGMENTS[seg_ix[k][i]] for k in range(d)]
+                paths[i] = "/".join(segs) + f"/file{fname_ix[i]}.{EXT[lang[i]]}"
+                L = int(length[i])
+                off = int(offsets[i])
+                head = f"// id={int(ids[i])} repo-marker\n"
+                body_len = max(L - len(head), 0)
+                if off + body_len <= corpus_len:
+                    body = corpus[off : off + body_len]
+                else:
+                    body = (corpus[off:] + corpus)[:body_len]
+                contents[i] = (head + body)[:L] if L >= len(head) else head[:L]
+                commits[i] = f"{int(c1[i]):016x}{int(c2[i]):016x}{int(c3[i]):08x}"[:40]
+            yield pd.DataFrame(
+                {
+                    "repo": repo,
+                    "path": paths,
+                    "commit": commits,
+                    "lang": lang,
+                    "content": contents,
+                }
+            )
+
+    base = spark.range(0, n_rows, numPartitions=partitions or max(8, n_rows // 50_000))
+    schema = "repo string, path string, commit string, lang string, content string"
+    # Protection markers are carried by ProtectionSpec.for_source_files()
+    # (schema-string mapInPandas output has no field metadata).
+    return base.mapInPandas(gen, schema=schema)
+
+
+def source_files_schema():
+    """Annotated StructType for the source_files table (FIXTURES.md §1)."""
+    from pyspark.sql import types as T
+
+    base = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+            T.StructField("content", T.StringType(), False),
+        ]
+    )
+    return annotate_schema(base, subject_column="repo", pii_columns=["content"])

@@ -1,0 +1,443 @@
+"""Iceberg-shaped snapshot table: Parquet data files + JSON metadata.
+
+No Iceberg/Delta jar exists in this sandbox (SURVEY.md §2 Part B), so
+the table format is implemented here with Iceberg's *shape*:
+
+    <root>/
+      metadata/
+        v{N}.json            table metadata: schema, properties,
+                             snapshot log (each snapshot points at a
+                             manifest file), current snapshot id
+        snap-{id}.json       manifest: data-file entries with per-file
+                             row counts, byte sizes, per-column min/max
+        version-hint.text    current version N (atomically replaced)
+      data/
+        <pass-uuid>/part-*.parquet
+
+Semantics (SURVEY.md §2 B1/B2/B5/B6):
+
+- **Snapshot isolation** (B1): a reader resolves its file list from one
+  immutable manifest; writers never mutate data files — every
+  maintenance pass writes new files and commits a new snapshot via an
+  atomic metadata swap (`os.rename` of both the version file and the
+  version hint; single-writer assumption documented in SURVEY.md §7).
+  A reader holding snapshot N is unaffected by commit N+1.
+- **File pruning** (B2): per-file min/max column stats live in the
+  manifest; `Table.scan(filters=...)` prunes files on the driver
+  *before* Catalyst ever sees them. (Catalyst then does row-group and
+  page-level pruning inside the files it is given — both layers apply.)
+- **Stats** (B5): collected from Parquet footers (row-group statistics
+  via pyarrow). Footer reads are distributed over executors via
+  ``sc.parallelize(paths).mapPartitions`` when the file count is large
+  — at 10^12-file ambition the driver must never touch every footer.
+- **Manifest rewrite** (B6): commits record added/removed files and the
+  parent snapshot; removed files stay on disk for time travel until
+  reference-counted snapshot expiry deletes them (``maintenance.expire``).
+
+The 10^12-file scale note: at sandbox scale a manifest is one JSON
+file; entries are kept as a plain list. The design point that matters
+for scale is that *readers only load the manifests of the snapshot
+they scan* and stats pruning happens before file listing is shipped to
+Spark — manifest sharding (manifest-list → manifests) would slot in at
+``Snapshot.manifest_path`` without changing any caller.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pi2spark.errors import ConcurrentCommitError, Pi2SparkError
+
+STATS_COLUMNS_PROP = "stats.columns"
+DEFAULT_STATS_COLUMNS = ["repo", "path", "lang", "zkey"]
+
+
+# ---------------------------------------------------------------------------
+# manifest entries
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DataFile:
+    """One data-file entry in a manifest (Iceberg DataFile analogue)."""
+
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    # col -> [min, max] (JSON-serializable scalars); absent cols unknown
+    stats: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "rows": self.rows, "bytes": self.bytes, "stats": self.stats}
+
+    @classmethod
+    def from_json(cls, d: dict) -> "DataFile":
+        return cls(path=d["path"], rows=d["rows"], bytes=d["bytes"], stats=d.get("stats", {}))
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # append | compact | zorder | shred | expire
+    files: list[DataFile]
+    summary: dict = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# footer stats collection (B5)
+# ---------------------------------------------------------------------------
+
+
+def _footer_stats(abs_path: str, stat_cols: Sequence[str]) -> tuple[int, int, dict]:
+    """Read one Parquet footer: (rows, bytes, {col: [min,max]})."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(abs_path)
+    meta = pf.metadata
+    rows = meta.num_rows
+    size = os.path.getsize(abs_path)
+    want = set(stat_cols)
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in want:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", "replace")
+            if isinstance(mx, bytes):
+                mx = mx.decode("utf-8", "replace")
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+    stats = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+    return rows, size, stats
+
+
+def collect_data_files(
+    root: str,
+    rel_paths: Sequence[str],
+    stat_cols: Sequence[str],
+    spark: SparkSession | None = None,
+    distribute_threshold: int = 256,
+) -> list[DataFile]:
+    """Build DataFile entries (footer stats) for the given files.
+
+    Distributed over executors for large file counts (shared-storage
+    assumption, same as any object-store lakehouse); driver threads
+    otherwise."""
+    if spark is not None and len(rel_paths) >= distribute_threshold:
+        sc = spark.sparkContext
+        cols = list(stat_cols)
+        rootv = root
+
+        def part(paths):
+            for p in paths:
+                rows, size, stats = _footer_stats(os.path.join(rootv, p), cols)
+                yield (p, rows, size, json.dumps(stats))
+
+        results = (
+            sc.parallelize(list(rel_paths), max(1, len(rel_paths) // 64))
+            .mapPartitions(part)
+            .collect()
+        )
+        return [
+            DataFile(path=p, rows=r, bytes=b, stats=json.loads(s)) for p, r, b, s in results
+        ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(p: str) -> DataFile:
+        rows, size, stats = _footer_stats(os.path.join(root, p), stat_cols)
+        return DataFile(path=p, rows=rows, bytes=size, stats=stats)
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return list(ex.map(one, rel_paths))
+
+
+# ---------------------------------------------------------------------------
+# pruning predicates (B2)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ColumnPredicate:
+    """Conjunctive stats predicate for driver-side file pruning.
+
+    op ∈ {"eq", "in", "le", "ge", "between"}; a file survives when its
+    [min,max] range for the column *may* contain a matching value.
+    Files without stats for the column always survive (safe)."""
+
+    column: str
+    op: str
+    value: object = None
+    values: tuple = ()
+
+    def may_match(self, f: DataFile) -> bool:
+        st = f.stats.get(self.column)
+        if not st:
+            return True
+        mn, mx = st
+        if self.op == "eq":
+            return mn <= self.value <= mx
+        if self.op == "in":
+            return any(mn <= v <= mx for v in self.values)
+        if self.op == "le":
+            return mn <= self.value
+        if self.op == "ge":
+            return mx >= self.value
+        if self.op == "between":
+            lo, hi = self.value
+            return not (mx < lo or mn > hi)
+        raise Pi2SparkError(f"unknown predicate op {self.op}")
+
+
+# ---------------------------------------------------------------------------
+# the table
+# ---------------------------------------------------------------------------
+
+
+class Table:
+    """Single-writer snapshot table at a filesystem root."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._meta_dir = os.path.join(root, "metadata")
+        self._data_dir = os.path.join(root, "data")
+
+    # -- creation / loading --
+
+    @classmethod
+    def create(cls, root: str, properties: dict | None = None) -> "Table":
+        t = cls(root)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        meta = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "properties": properties or {},
+            "current_snapshot_id": None,
+            "snapshots": [],
+        }
+        t._write_version(1, meta)
+        return t
+
+    @classmethod
+    def load(cls, root: str) -> "Table":
+        t = cls(root)
+        t.current_version()  # raises if absent
+        return t
+
+    def current_version(self) -> int:
+        hint = os.path.join(self._meta_dir, "version-hint.text")
+        with open(hint, "r", encoding="utf-8") as fh:
+            return int(fh.read().strip())
+
+    def _metadata(self, version: int | None = None) -> dict:
+        v = version if version is not None else self.current_version()
+        with open(os.path.join(self._meta_dir, f"v{v}.json"), "r", encoding="utf-8") as fh:
+            return json.load(fh)
+
+    @property
+    def properties(self) -> dict:
+        return self._metadata().get("properties", {})
+
+    def stats_columns(self) -> list[str]:
+        return self.properties.get(STATS_COLUMNS_PROP, DEFAULT_STATS_COLUMNS)
+
+    # -- snapshots --
+
+    def snapshots(self) -> list[dict]:
+        return self._metadata()["snapshots"]
+
+    def current_snapshot_id(self) -> int | None:
+        return self._metadata()["current_snapshot_id"]
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
+        meta = self._metadata()
+        sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
+        if sid is None:
+            raise Pi2SparkError("table has no snapshots")
+        entry = next((s for s in meta["snapshots"] if s["snapshot_id"] == sid), None)
+        if entry is None:
+            raise Pi2SparkError(f"snapshot {sid} not found (expired?)")
+        with open(os.path.join(self._meta_dir, entry["manifest"]), "r", encoding="utf-8") as fh:
+            manifest = json.load(fh)
+        return Snapshot(
+            snapshot_id=sid,
+            parent_id=entry.get("parent_id"),
+            timestamp_ms=entry["timestamp_ms"],
+            operation=entry["operation"],
+            files=[DataFile.from_json(d) for d in manifest["files"]],
+            summary=entry.get("summary", {}),
+        )
+
+    # -- atomic commit (B6) --
+
+    def _write_version(self, version: int, meta: dict) -> None:
+        """Atomic metadata swap: temp-write + rename of v{N}.json, then
+        of version-hint.text. rename(2) atomicity is the commit point;
+        an existing v{N}.json means another writer won (optimistic
+        concurrency, single-writer deployments never hit it)."""
+        vpath = os.path.join(self._meta_dir, f"v{version}.json")
+        if os.path.exists(vpath):
+            raise ConcurrentCommitError(f"version {version} already committed")
+        tmp = vpath + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        os.rename(tmp, vpath)
+        hint = os.path.join(self._meta_dir, "version-hint.text")
+        htmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(htmp, "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+        os.rename(htmp, hint)
+
+    def commit(
+        self,
+        operation: str,
+        added: Sequence[DataFile],
+        removed_paths: Iterable[str] = (),
+        summary: dict | None = None,
+        expected_version: int | None = None,
+    ) -> Snapshot:
+        """Commit a new snapshot: parent's files − removed + added."""
+        version = self.current_version()
+        if expected_version is not None and version != expected_version:
+            raise ConcurrentCommitError(
+                f"table advanced to v{version}, expected v{expected_version}"
+            )
+        meta = self._metadata(version)
+        parent_id = meta["current_snapshot_id"]
+        removed = set(removed_paths)
+        if parent_id is not None:
+            parent_files = self.snapshot(parent_id).files
+        else:
+            parent_files = []
+        missing = removed - {f.path for f in parent_files}
+        if missing:
+            raise Pi2SparkError(f"cannot remove files absent from parent snapshot: {missing}")
+        files = [f for f in parent_files if f.path not in removed] + list(added)
+
+        sid = (parent_id or 0) + 1
+        manifest_name = f"snap-{sid}.json"
+        mtmp = os.path.join(self._meta_dir, manifest_name + ".tmp")
+        with open(mtmp, "w", encoding="utf-8") as fh:
+            json.dump({"files": [f.to_json() for f in files]}, fh)
+        os.rename(mtmp, os.path.join(self._meta_dir, manifest_name))
+
+        summ = dict(summary or {})
+        summ.update(
+            {
+                "added-files": len(added),
+                "removed-files": len(removed),
+                "total-files": len(files),
+                "total-rows": sum(f.rows for f in files),
+                "total-bytes": sum(f.bytes for f in files),
+            }
+        )
+        meta["snapshots"].append(
+            {
+                "snapshot_id": sid,
+                "parent_id": parent_id,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "manifest": manifest_name,
+                "summary": summ,
+            }
+        )
+        meta["current_snapshot_id"] = sid
+        self._write_version(version + 1, meta)
+        return self.snapshot(sid)
+
+    # -- write path --
+
+    def new_data_dir(self, tag: str) -> tuple[str, str]:
+        """Fresh data subdirectory for one pass: (relative, absolute)."""
+        rel = os.path.join("data", f"{tag}-{uuid.uuid4().hex[:12]}")
+        absd = os.path.join(self.root, rel)
+        os.makedirs(absd, exist_ok=True)
+        return rel, absd
+
+    def write_files(
+        self,
+        df: DataFrame,
+        spark: SparkSession,
+        tag: str,
+        stat_cols: Sequence[str] | None = None,
+    ) -> list[DataFile]:
+        """Write a DataFrame as data files under a fresh pass directory
+        and return manifest entries with footer stats. One output file
+        per Spark partition — callers control file sizing via
+        repartition/coalesce before calling."""
+        rel_dir, abs_dir = self.new_data_dir(tag)
+        df.write.mode("append").parquet(abs_dir)
+        rels = [
+            os.path.join(rel_dir, name)
+            for name in sorted(os.listdir(abs_dir))
+            if name.endswith(".parquet")
+        ]
+        cols = list(stat_cols if stat_cols is not None else self.stats_columns())
+        return collect_data_files(self.root, rels, cols, spark=spark)
+
+    def append(
+        self,
+        df: DataFrame,
+        spark: SparkSession,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        files = self.write_files(df, spark, tag="append")
+        return self.commit("append", added=files, summary=summary)
+
+    # -- read path (B1 snapshot isolation + B2 pruning) --
+
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        filters: Sequence[ColumnPredicate] = (),
+    ) -> tuple[Snapshot, list[DataFile]]:
+        snap = self.snapshot(snapshot_id)
+        files = snap.files
+        for pred in filters:
+            files = [f for f in files if pred.may_match(f)]
+        return snap, files
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        filters: Sequence[ColumnPredicate] = (),
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated scan with driver-side file pruning.
+
+        Stats predicates prune files here; the same predicates should
+        also be applied as DataFrame filters by the caller for row-level
+        filtering (stats pruning is necessary-not-sufficient)."""
+        snap, files = self.plan_files(snapshot_id, filters)
+        if not files:
+            # empty relation with the table schema: scan any one parent file
+            all_files = snap.files
+            if not all_files:
+                raise Pi2SparkError("cannot scan an empty table without schema")
+            df = spark.read.parquet(os.path.join(self.root, all_files[0].path)).limit(0)
+        else:
+            df = spark.read.parquet(*[os.path.join(self.root, f.path) for f in files])
+        if columns:
+            df = df.select(*columns)
+        return df

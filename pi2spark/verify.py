@@ -1,0 +1,40 @@
+"""Scan-output verification (B11).
+
+Post-maintenance scans must reproduce the reference scan output with
+per-row ``sha256(content)`` equality — decrypted plaintext for live
+subjects, tombstones for shredded ones (BASELINE.json:input_hint /
+north_star). Comparison is multiset-based (row order is not part of
+table semantics) and computed JVM-side with ``F.sha2`` — no data is
+collected beyond the aggregated digest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOMBSTONE = "<shredded>"
+
+
+def content_digest(df: DataFrame, key_cols=("repo", "path", "commit"), content_col="content") -> str:
+    """Order-insensitive digest of the scan output: xor-free stable
+    aggregate = sum of per-row hashes (both halves) over
+    (key, sha256(content-or-tombstone)). Cheap, distributed, and
+    collision-resistant enough for test equality."""
+    shredded = F.col("shredded") if "shredded" in df.columns else F.lit(False)
+    row = F.concat_ws(
+        "\x1f",
+        *[F.col(c) for c in key_cols],
+        F.sha2(F.when(shredded, F.lit(TOMBSTONE)).otherwise(F.col(content_col)), 256),
+    )
+    h = F.sha2(row, 256)
+    agg = df.select(
+        F.sum(F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")).alias("a"),
+        F.sum(F.conv(F.substring(h, 17, 15), 16, 10).cast("decimal(38,0)")).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return f"{agg['a']}-{agg['b']}-{agg['n']}"
+
+
+def scans_equal(a: DataFrame, b: DataFrame, **kw) -> bool:
+    return content_digest(a, **kw) == content_digest(b, **kw)

@@ -1,0 +1,14 @@
+import pytest
+
+from pi2spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="pi2spark-tests", cores=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture()
+def tmp_table_root(tmp_path):
+    return str(tmp_path / "tbl")

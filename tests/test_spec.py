@@ -1,0 +1,82 @@
+"""ProtectionSpec compile/validation — mirrors the reference's
+cardinality + format rules (SURVEY.md §5: SiblingSubjectIdentifierFinderTest,
+OneOfPersonalDataFieldDefinitionTest invalid-schema cases;
+FIXTURES.md §4 case 5)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from pi2spark.errors import (
+    SubjectIdentifierNotFoundError,
+    TooManySubjectIdentifiersError,
+    UnsupportedPersonalDataFieldFormatError,
+)
+from pi2spark.spec import (
+    PERSONAL_DATA_KEY,
+    SUBJECT_IDENTIFIER_KEY,
+    ProtectionSpec,
+    annotate_schema,
+)
+
+
+def _schema(subject_cols, pii_cols, pii_type=T.StringType()):
+    fields = []
+    for name in ["repo", "repo2", "path", "content", "content2", "size"]:
+        dtype = pii_type if name in pii_cols else (T.IntegerType() if name == "size" else T.StringType())
+        md = {}
+        if name in subject_cols:
+            md[SUBJECT_IDENTIFIER_KEY] = True
+        if name in pii_cols:
+            md[PERSONAL_DATA_KEY] = True
+        fields.append(T.StructField(name, dtype, True, md))
+    return T.StructType(fields)
+
+
+def test_compile_valid_spec():
+    spec = ProtectionSpec.from_schema(_schema({"repo"}, {"content"}), "source_files")
+    assert spec.subject_column == "repo"
+    assert spec.pii_columns == ("content",)
+    assert spec.requires_encryption
+    assert spec.envelope_column("content") == "content_enc"
+
+
+def test_zero_subject_identifiers_raises():
+    # invalid_subject_identifiers.proto missing-subject analogue
+    with pytest.raises(SubjectIdentifierNotFoundError) as e:
+        ProtectionSpec.from_schema(_schema(set(), {"content"}), "t")
+    assert "t" in str(e.value)
+
+
+def test_two_subject_identifiers_raises():
+    with pytest.raises(TooManySubjectIdentifiersError) as e:
+        ProtectionSpec.from_schema(_schema({"repo", "repo2"}, {"content"}), "t")
+    assert "2" in str(e.value) and "exactly one" in str(e.value)
+
+
+def test_no_pii_schema_compiles_without_subject():
+    # fruit.proto analogue: no PII markers → no encryption required
+    spec = ProtectionSpec.from_schema(_schema(set(), set()), "fruit")
+    assert not spec.requires_encryption
+
+
+def test_non_string_pii_column_rejected():
+    with pytest.raises(UnsupportedPersonalDataFieldFormatError):
+        ProtectionSpec.from_schema(_schema({"repo"}, {"size"}, pii_type=T.IntegerType()), "t")
+
+
+def test_multiple_pii_columns():
+    spec = ProtectionSpec.from_schema(_schema({"repo"}, {"content", "content2"}), "t")
+    assert set(spec.pii_columns) == {"content", "content2"}
+
+
+def test_annotate_schema_roundtrip():
+    base = T.StructType([T.StructField("repo", T.StringType()), T.StructField("content", T.StringType())])
+    ann = annotate_schema(base, "repo", ["content"])
+    spec = ProtectionSpec.from_schema(ann)
+    assert spec.subject_column == "repo" and spec.pii_columns == ("content",)
+
+
+def test_source_files_spec():
+    spec = ProtectionSpec.for_source_files()
+    assert spec.subject_column == "repo"
+    assert spec.pii_columns == ("content",)

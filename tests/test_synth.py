@@ -1,0 +1,34 @@
+"""Deterministic synthetic source_files generator (FIXTURES.md §1)."""
+
+from pyspark.sql import functions as F
+
+from pi2spark.synth import MAX_LEN, MIN_LEN, synthesize_source_files
+from pi2spark.verify import content_digest
+
+
+def test_shape_and_determinism(spark):
+    df = synthesize_source_files(spark, 2000, seed=42, partitions=4)
+    assert df.columns == ["repo", "path", "commit", "lang", "content"]
+    assert df.count() == 2000
+    # partitioning-independent determinism
+    df2 = synthesize_source_files(spark, 2000, seed=42, partitions=13)
+    assert content_digest(df) == content_digest(df2)
+    # different seed differs
+    df3 = synthesize_source_files(spark, 2000, seed=7, partitions=4)
+    assert content_digest(df) != content_digest(df3)
+
+
+def test_skew_and_lengths(spark):
+    df = synthesize_source_files(spark, 5000, seed=42, partitions=8).cache()
+    top = df.groupBy("repo").count().orderBy(F.desc("count")).first()
+    # mega-repo holds ~30% of rows
+    assert top["repo"] == "org0/megarepo"
+    assert 0.25 < top["count"] / 5000 < 0.35
+    lens = df.select(
+        F.min(F.length("content")).alias("mn"), F.max(F.length("content")).alias("mx")
+    ).first()
+    assert lens["mn"] >= MIN_LEN - 4  # header truncation tolerance
+    assert lens["mx"] <= MAX_LEN
+    # commits are 40-hex
+    assert df.filter(~F.col("commit").rlike("^[0-9a-f]{40}$")).count() == 0
+    df.unpersist()

@@ -1,0 +1,86 @@
+"""Snapshot table: atomic commit, snapshot isolation, stats pruning."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.errors import ConcurrentCommitError, Pi2SparkError
+from pi2spark.table import ColumnPredicate, Table
+
+
+def _df(spark, lo, hi, repo="org0/a"):
+    return spark.range(lo, hi).select(
+        F.lit(repo).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("id")).alias("path"),
+        F.col("id").cast("string").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.concat(F.lit("content-"), F.col("id")).alias("content"),
+    )
+
+
+def test_create_append_scan(spark, tmp_table_root):
+    t = Table.create(tmp_table_root, properties={"stats.columns": ["repo", "path"]})
+    snap = t.append(_df(spark, 0, 100).coalesce(2), spark)
+    assert snap.snapshot_id == 1
+    assert snap.summary["total-rows"] == 100
+    assert len(snap.files) == 2
+    got = t.scan(spark).count()
+    assert got == 100
+    # stats were collected from footers
+    f = snap.files[0]
+    assert "repo" in f.stats and f.stats["repo"][0] == "org0/a"
+
+
+def test_snapshot_isolation(spark, tmp_table_root):
+    t = Table.create(tmp_table_root)
+    t.append(_df(spark, 0, 10).coalesce(1), spark)
+    reader_snap = t.current_snapshot_id()
+    t.append(_df(spark, 10, 30).coalesce(1), spark)
+    # a reader pinned to snapshot 1 is unaffected by commit 2 (B1)
+    assert t.scan(spark, snapshot_id=reader_snap).count() == 10
+    assert t.scan(spark).count() == 30
+
+
+def test_commit_remove_files(spark, tmp_table_root):
+    t = Table.create(tmp_table_root)
+    s1 = t.append(_df(spark, 0, 10).coalesce(2), spark)
+    remove = s1.files[0].path
+    s2 = t.commit("compact", added=[], removed_paths=[remove])
+    assert len(s2.files) == 1
+    # old snapshot still scannable (time travel) — file still on disk
+    assert os.path.exists(os.path.join(t.root, remove))
+    assert t.scan(spark, snapshot_id=s1.snapshot_id).count() == 10
+
+
+def test_remove_unknown_file_rejected(spark, tmp_table_root):
+    t = Table.create(tmp_table_root)
+    t.append(_df(spark, 0, 10).coalesce(1), spark)
+    with pytest.raises(Pi2SparkError):
+        t.commit("compact", added=[], removed_paths=["data/nope.parquet"])
+
+
+def test_optimistic_concurrency(spark, tmp_table_root):
+    t = Table.create(tmp_table_root)
+    v = t.current_version()
+    t.append(_df(spark, 0, 10).coalesce(1), spark)
+    with pytest.raises(ConcurrentCommitError):
+        t.commit("append", added=[], removed_paths=[], expected_version=v)
+
+
+def test_stats_pruning(spark, tmp_table_root):
+    t = Table.create(tmp_table_root, properties={"stats.columns": ["repo"]})
+    t.append(_df(spark, 0, 10, repo="org0/aaa").coalesce(1), spark)
+    t.append(_df(spark, 0, 10, repo="org9/zzz").coalesce(1), spark)
+    snap, files = t.plan_files(filters=[ColumnPredicate("repo", "eq", "org0/aaa")])
+    assert len(files) == 1 and len(snap.files) == 2
+    # in-predicate
+    _, files = t.plan_files(
+        filters=[ColumnPredicate("repo", "in", values=("org0/aaa", "org9/zzz"))]
+    )
+    assert len(files) == 2
+    # no-match prunes everything; scan still returns empty frame with schema
+    _, files = t.plan_files(filters=[ColumnPredicate("repo", "eq", "orgX/none")])
+    assert files == []
+    df = t.scan(spark, filters=[ColumnPredicate("repo", "eq", "orgX/none")])
+    assert df.count() == 0 and "content" in df.columns
