@@ -1,0 +1,93 @@
+"""Checkpoint-resumable pass ledger with per-task lineage + metrics
+(SURVEY.md §2 B10; BASELINE.json:north_star "checkpoint-resumable with
+per-partition lineage and metrics").
+
+One ledger = one maintenance pass attempt stream. Records are JSON
+lines appended with flush+fsync, so a killed driver leaves a prefix of
+completed task records; the rerun (same ``pass_id``) skips those tasks
+and reuses their recorded outputs. The final ``commit`` record marks
+the pass complete — a rerun after commit is a no-op.
+
+Task identity must be deterministic (derived from the input snapshot's
+sorted manifest, never from randomness/time), which makes resume
+idempotent — SURVEY.md §7 hard-part 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class PassLedger:
+    def __init__(self, root: str, pass_id: str):
+        self.pass_id = pass_id
+        self.path = os.path.join(root, "maintenance", f"{pass_id}.jsonl")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        self._tasks: dict[str, dict] = {}
+        self._committed: dict | None = None
+        if os.path.exists(self.path):
+            with open(self.path, "r", encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        break  # torn tail write from a crash — ignore suffix
+                    if rec.get("type") == "task":
+                        self._tasks[rec["task_id"]] = rec
+                    elif rec.get("type") == "commit":
+                        self._committed = rec
+
+    # -- queries --
+
+    def is_task_done(self, task_id: str) -> bool:
+        return task_id in self._tasks
+
+    def task_result(self, task_id: str) -> dict | None:
+        rec = self._tasks.get(task_id)
+        return rec.get("result") if rec else None
+
+    @property
+    def committed(self) -> dict | None:
+        return self._committed
+
+    def completed_tasks(self) -> dict[str, dict]:
+        return dict(self._tasks)
+
+    # -- appends --
+
+    def _append(self, rec: dict) -> None:
+        with open(self.path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(rec) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def record_task(self, task_id: str, result: dict, metrics: dict | None = None) -> None:
+        """Lineage record for one completed unit of work: inputs,
+        outputs, row counts live inside ``result``; timings inside
+        ``metrics``."""
+        rec = {
+            "type": "task",
+            "pass_id": self.pass_id,
+            "task_id": task_id,
+            "ts_ms": int(time.time() * 1000),
+            "result": result,
+            "metrics": metrics or {},
+        }
+        self._tasks[task_id] = rec
+        self._append(rec)
+
+    def record_commit(self, snapshot_id: int, summary: dict | None = None) -> None:
+        rec = {
+            "type": "commit",
+            "pass_id": self.pass_id,
+            "snapshot_id": snapshot_id,
+            "ts_ms": int(time.time() * 1000),
+            "summary": summary or {},
+        }
+        self._committed = rec
+        self._append(rec)

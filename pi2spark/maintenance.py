@@ -1,0 +1,404 @@
+"""Maintenance passes: compaction, Z-order clustering, MERGE-shred,
+snapshot expiry (SURVEY.md §2 B3/B4/B7/B8/B9/B10).
+
+Execution model
+---------------
+Compaction and shred run as **concurrent per-group Spark jobs** from a
+driver thread pool — the same strategy as Iceberg's RewriteDataFiles
+(``max-concurrent-file-group-rewrites``): each group reads only its own
+input files and writes its own output, so there is **no shuffle at
+all**; ciphertext moves opaquely (crypto is NOT re-run — the envelope
+column is just bytes to these passes). Z-order is the only pass with a
+shuffle, and it is a single range-repartition on the cluster key with
+a tiebreaker column so mega-repo ties split across partitions
+(AQE-aware range partitioning, BASELINE.json:north_star).
+
+Every pass takes a ``pass_id`` and writes a ``PassLedger`` (B10):
+killed mid-pass → rerun with the same id skips completed groups and
+commits exactly the same snapshot content.
+
+Scale notes (10^12-file ambition): group planning is a driver-side
+first-fit-decreasing over manifest entries — O(n log n) in *file
+count of one snapshot*, the same planning cost Iceberg pays; the
+data plane is fully distributed and shuffle-free.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pi2spark.checkpoint import PassLedger
+from pi2spark.table import ColumnPredicate, DataFile, Table, collect_data_files
+from pi2spark.zorder import column_boundaries, with_cluster_key
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+DEFAULT_CONCURRENCY = 8
+
+
+@dataclass
+class PassResult:
+    operation: str
+    pass_id: str
+    snapshot_id: int | None
+    rewritten_files: int
+    added_files: int
+    rewritten_bytes: int
+    seconds: float
+    skipped: bool = False
+    details: dict = field(default_factory=dict)
+
+
+def _new_pass_id(prefix: str) -> str:
+    return f"{prefix}-{uuid.uuid4().hex[:10]}"
+
+
+# ---------------------------------------------------------------------------
+# B3 — bin-packing compaction
+# ---------------------------------------------------------------------------
+
+
+def plan_bins(files: list[DataFile], target_bytes: int, small_ratio: float = 0.75):
+    """First-fit-decreasing bin packing of small files into
+    ~target-size rewrite groups. Deterministic: files sorted by
+    (size desc, path)."""
+    small = [f for f in files if f.bytes < target_bytes * small_ratio]
+    small.sort(key=lambda f: (-f.bytes, f.path))
+    bins: list[list[DataFile]] = []
+    totals: list[int] = []
+    for f in small:
+        for i, tot in enumerate(totals):
+            if tot + f.bytes <= target_bytes:
+                bins[i].append(f)
+                totals[i] += f.bytes
+                break
+        else:
+            bins.append([f])
+            totals.append(f.bytes)
+    # a bin of one file is a rename with no benefit — leave it alone
+    return [b for b in bins if len(b) >= 2]
+
+
+def compact(
+    table: Table,
+    spark: SparkSession,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    concurrency: int = DEFAULT_CONCURRENCY,
+    pass_id: str | None = None,
+) -> PassResult:
+    """Rewrite groups of small files into ~target-size files. No
+    shuffle, no crypto: each group is read and coalesced to one output
+    file by its own job; ciphertext is opaque payload."""
+    t0 = time.time()
+    pass_id = pass_id or _new_pass_id("compact")
+    ledger = PassLedger(table.root, pass_id)
+    if ledger.committed:
+        return PassResult("compact", pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True)
+
+    snap = table.snapshot()
+    bins = plan_bins(snap.files, target_file_bytes)
+    if not bins:
+        return PassResult("compact", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
+
+    rel_dir, abs_dir = table.new_data_dir(f"compact-{pass_id}")
+    stat_cols = table.stats_columns()
+
+    def run_bin(i: int, bin_files: list[DataFile]) -> dict:
+        task_id = f"bin-{i:05d}"
+        prior = ledger.task_result(task_id)
+        if prior:
+            return prior
+        s = time.time()
+        paths = [os.path.join(table.root, f.path) for f in bin_files]
+        out_abs = os.path.join(abs_dir, task_id)
+        spark.read.parquet(*paths).coalesce(1).write.mode("overwrite").parquet(out_abs)
+        rels = [
+            os.path.join(rel_dir, task_id, n)
+            for n in sorted(os.listdir(out_abs))
+            if n.endswith(".parquet")
+        ]
+        added = collect_data_files(table.root, rels, stat_cols)
+        result = {
+            "inputs": [f.path for f in bin_files],
+            "outputs": [a.to_json() for a in added],
+            "rows": sum(a.rows for a in added),
+            "bytes_in": sum(f.bytes for f in bin_files),
+        }
+        ledger.record_task(task_id, result, metrics={"seconds": time.time() - s})
+        return result
+
+    with ThreadPoolExecutor(max_workers=concurrency) as ex:
+        results = list(ex.map(lambda ib: run_bin(*ib), enumerate(bins)))
+
+    removed = [p for r in results for p in r["inputs"]]
+    added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
+    new_snap = table.commit(
+        "compact",
+        added=added,
+        removed_paths=removed,
+        summary={"pass_id": pass_id, "bins": len(bins)},
+    )
+    ledger.record_commit(new_snap.snapshot_id, {"bins": len(bins)})
+    return PassResult(
+        "compact",
+        pass_id,
+        new_snap.snapshot_id,
+        rewritten_files=len(removed),
+        added_files=len(added),
+        rewritten_bytes=sum(r["bytes_in"] for r in results),
+        seconds=time.time() - t0,
+        details={"bins": len(bins)},
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4 — Z-order / Hilbert clustering rewrite
+# ---------------------------------------------------------------------------
+
+
+def cluster(
+    table: Table,
+    spark: SparkSession,
+    columns=("repo", "lang", "path"),
+    curve: str = "morton",
+    bits: int = 16,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    pass_id: str | None = None,
+    sample_rows: int = 20_000,
+) -> PassResult:
+    """Full-table clustering rewrite on the space-filling-curve key.
+
+    One shuffle: ``repartitionByRange(n, zkey, commit)`` — the range
+    partitioner samples the key (AQE-aware), and the ``commit``
+    tiebreaker splits mega-repo duplicate keys across partitions
+    instead of hot-spotting one reducer (B9 skew handling). Then
+    ``sortWithinPartitions(zkey)`` and one output file per partition;
+    per-file min/max on the clustered columns become tight, which is
+    what makes stats pruning (B2) and shred file-targeting (B8) cheap."""
+    t0 = time.time()
+    pass_id = pass_id or _new_pass_id("zorder")
+    ledger = PassLedger(table.root, pass_id)
+    if ledger.committed:
+        return PassResult(curve, pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True)
+
+    snap = table.snapshot()
+    if not snap.files:
+        return PassResult(curve, pass_id, snap.snapshot_id, 0, 0, 0, 0.0, skipped=True)
+    total_bytes = sum(f.bytes for f in snap.files)
+    n_files = max(1, round(total_bytes / target_file_bytes))
+
+    task_id = "rewrite"
+    prior = ledger.task_result(task_id)
+    if prior:
+        added = [DataFile.from_json(d) for d in prior["outputs"]]
+    else:
+        df = table.scan(spark, snapshot_id=snap.snapshot_id)
+        boundaries = column_boundaries(df, list(columns), bits=bits, sample_rows=sample_rows)
+        bc = spark.sparkContext.broadcast(boundaries)
+        keyed = with_cluster_key(df, columns, bits=bits, curve=curve, boundaries=boundaries, broadcast=bc)
+        tiebreak = "commit" if "commit" in df.columns else columns[-1]
+        clustered = keyed.repartitionByRange(n_files, F.col("zkey"), F.col(tiebreak)).sortWithinPartitions("zkey")
+        added = table.write_files(clustered, spark, tag=f"{curve}-{pass_id}")
+        ledger.record_task(
+            task_id,
+            {
+                "inputs": [f.path for f in snap.files],
+                "outputs": [a.to_json() for a in added],
+                "rows": sum(a.rows for a in added),
+                "bytes_in": total_bytes,
+            },
+            metrics={"seconds": time.time() - t0, "n_files": n_files},
+        )
+    new_snap = table.commit(
+        curve,
+        added=added,
+        removed_paths=[f.path for f in snap.files],
+        summary={"pass_id": pass_id, "cluster_columns": list(columns), "curve": curve},
+    )
+    ledger.record_commit(new_snap.snapshot_id)
+    return PassResult(
+        curve,
+        pass_id,
+        new_snap.snapshot_id,
+        rewritten_files=len(snap.files),
+        added_files=len(added),
+        rewritten_bytes=total_bytes,
+        seconds=time.time() - t0,
+        details={"n_files": n_files},
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8 — MERGE INTO crypto-shred erasure
+# ---------------------------------------------------------------------------
+
+
+def shred(
+    table: Table,
+    spark: SparkSession,
+    subjects,
+    subject_column: str = "repo",
+    envelope_columns=("content_enc",),
+    concurrency: int = DEFAULT_CONCURRENCY,
+    pass_id: str | None = None,
+) -> PassResult:
+    """MERGE-INTO-style erasure: rewrite **only** the data files whose
+    stats may contain a forgotten subject, tombstoning that subject's
+    rows (envelope → NULL, shredded → true). All other files are
+    untouched manifest entries. The caller must already have FORGOTTEN
+    the subject's key (``KeyRegistry.forget``) — key deletion is what
+    makes the ciphertext unrecoverable; this pass removes the bytes."""
+    t0 = time.time()
+    subjects = sorted(set(subjects))
+    pass_id = pass_id or _new_pass_id("shred")
+    ledger = PassLedger(table.root, pass_id)
+    if ledger.committed:
+        return PassResult("shred", pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True)
+    if not subjects:
+        return PassResult("shred", pass_id, table.current_snapshot_id(), 0, 0, 0, 0.0, skipped=True)
+
+    snap = table.snapshot()
+    pred = ColumnPredicate(subject_column, "in", values=tuple(subjects))
+    affected = [f for f in snap.files if pred.may_match(f)]
+    if not affected:
+        return PassResult("shred", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
+
+    rel_dir, abs_dir = table.new_data_dir(f"shred-{pass_id}")
+    stat_cols = table.stats_columns()
+    forget_df = spark.createDataFrame(
+        [(s,) for s in subjects], f"{subject_column} string"
+    ).withColumn("__forget", F.lit(True))
+
+    def tombstone(df: DataFrame) -> DataFrame:
+        out = df.join(F.broadcast(forget_df), subject_column, "left")
+        hit = F.coalesce(F.col("__forget"), F.lit(False))
+        for env in envelope_columns:
+            if env in df.columns:
+                out = out.withColumn(env, F.when(hit, F.lit(None)).otherwise(F.col(env)))
+        out = out.withColumn("shredded", F.col("shredded") | hit)
+        return out.drop("__forget").select(*df.columns)
+
+    def run_file(i: int, f: DataFile) -> dict:
+        task_id = f"file-{i:05d}"
+        prior = ledger.task_result(task_id)
+        if prior:
+            return prior
+        s = time.time()
+        out_abs = os.path.join(abs_dir, task_id)
+        src = spark.read.parquet(os.path.join(table.root, f.path))
+        tombstone(src).coalesce(1).write.mode("overwrite").parquet(out_abs)
+        rels = [
+            os.path.join(rel_dir, task_id, n)
+            for n in sorted(os.listdir(out_abs))
+            if n.endswith(".parquet")
+        ]
+        added = collect_data_files(table.root, rels, stat_cols)
+        result = {
+            "inputs": [f.path],
+            "outputs": [a.to_json() for a in added],
+            "rows": sum(a.rows for a in added),
+            "bytes_in": f.bytes,
+        }
+        ledger.record_task(task_id, result, metrics={"seconds": time.time() - s})
+        return result
+
+    with ThreadPoolExecutor(max_workers=concurrency) as ex:
+        results = list(ex.map(lambda ix: run_file(*ix), enumerate(affected)))
+
+    removed = [p for r in results for p in r["inputs"]]
+    added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
+    new_snap = table.commit(
+        "shred",
+        added=added,
+        removed_paths=removed,
+        summary={"pass_id": pass_id, "subjects": subjects, "affected_files": len(affected)},
+    )
+    ledger.record_commit(new_snap.snapshot_id)
+    return PassResult(
+        "shred",
+        pass_id,
+        new_snap.snapshot_id,
+        rewritten_files=len(affected),
+        added_files=len(added),
+        rewritten_bytes=sum(f.bytes for f in affected),
+        seconds=time.time() - t0,
+        details={"affected_files": len(affected), "total_files": len(snap.files)},
+    )
+
+
+def forget_and_shred(table: Table, spark: SparkSession, registry, subject_id: str, **kw) -> PassResult:
+    """The complete right-to-be-forgotten flow: FORGET command (key
+    deletion — completes the reference's unimplemented branch,
+    KafkaSecretKeyStore.java:247-250) followed by the MERGE-shred
+    rewrite of affected files."""
+    registry.forget(subject_id)
+    return shred(table, spark, [subject_id], **kw)
+
+
+# ---------------------------------------------------------------------------
+# B7 — reference-counted snapshot expiry
+# ---------------------------------------------------------------------------
+
+
+def expire_snapshots(
+    table: Table,
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+) -> dict:
+    """Expire old snapshots and delete data files whose reference count
+    across *retained* snapshots is zero.
+
+    Refcounting is a set-difference over manifest entries; at sandbox
+    scale it runs on the driver, and the same fold distributes as a
+    DataFrame groupBy over manifest rows when file counts outgrow
+    driver memory (SURVEY.md §4.3 driver-metadata note)."""
+    version = table.current_version()
+    meta = table._metadata(version)
+    snaps = meta["snapshots"]
+    current_id = meta["current_snapshot_id"]
+    retained, expired = [], []
+    for i, s in enumerate(snaps):
+        # Iceberg-like retention: always keep the current snapshot and
+        # the newest `keep_last`; with a time cutoff, additionally keep
+        # everything at/after the cutoff.
+        keep = s["snapshot_id"] == current_id or i >= len(snaps) - keep_last
+        if older_than_ms is not None and s["timestamp_ms"] >= older_than_ms:
+            keep = True
+        (retained if keep else expired).append(s)
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+
+    def manifest_paths(entry) -> set[str]:
+        import json as _json
+
+        with open(os.path.join(table._meta_dir, entry["manifest"]), "r", encoding="utf-8") as fh:
+            return {d["path"] for d in _json.load(fh)["files"]}
+
+    referenced = set()
+    for s in retained:
+        referenced |= manifest_paths(s)
+    deletable = set()
+    for s in expired:
+        deletable |= manifest_paths(s) - referenced
+
+    for rel in sorted(deletable):
+        p = os.path.join(table.root, rel)
+        if os.path.exists(p):
+            os.remove(p)
+    meta["snapshots"] = retained
+    table._write_version(version + 1, meta)
+    for s in expired:
+        mp = os.path.join(table._meta_dir, s["manifest"])
+        if os.path.exists(mp):
+            os.remove(mp)
+    return {
+        "expired_snapshots": len(expired),
+        "deleted_files": len(deletable),
+        "retained_snapshots": len(retained),
+    }

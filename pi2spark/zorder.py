@@ -1,0 +1,214 @@
+"""Z-order (Morton) and Hilbert clustering keys (SURVEY.md §2 B4).
+
+Strategy (BASELINE.json:north_star: "Z-order clustering via
+bit-interleaved Morton keys (with Hilbert-curve fallback) over
+(repo, lang, path)"):
+
+1. **Rank-bucket each column** into ``2^bits`` ordered buckets using
+   sample-derived boundaries (same idea as Spark's RangePartitioner
+   reservoir sampling): sample a bounded number of values per column
+   (driver memory is O(sample), independent of table size), sort, take
+   equi-spaced quantile boundaries, broadcast, then map value→bucket
+   with vectorized ``np.searchsorted`` inside one Arrow-batched pandas
+   UDF for all columns at once. Order-preserving, so files clustered
+   on the key get tight per-column min/max ranges → stats pruning (B2)
+   becomes effective.
+2. **Interleave bits JVM-side**: the Morton key is a pure Spark column
+   expression built from ``shiftleft``/``shiftright``/``&``/``|`` over
+   the bucket ints — it stays inside whole-stage codegen; no Python in
+   the hot path after the bucket UDF.
+3. **Hilbert fallback**: Skilling's transpose algorithm vectorized in
+   numpy inside the same bucket UDF (Hilbert has better locality but
+   is not expressible in closed-form column ops; public-domain
+   algorithm, "Programming the Hilbert curve", AIP 2004).
+
+The key is then used with ``repartitionByRange(n, zkey, tiebreaker)``
++ ``sortWithinPartitions(zkey)`` by the clustering pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# sample-based rank bucketing
+# ---------------------------------------------------------------------------
+
+
+def column_boundaries(
+    df: DataFrame, columns, bits: int = DEFAULT_BITS, sample_rows: int = 20_000, seed: int = 42
+) -> dict[str, list]:
+    """Per-column sorted boundary lists (len = 2^bits - 1 at most).
+
+    One bounded sample job for all columns; boundaries are quantiles of
+    the sample. Driver cost is O(columns × sample_rows) regardless of
+    table size."""
+    n_buckets = 1 << bits
+    total = df.count()
+    frac = min(1.0, (sample_rows * 1.2) / max(total, 1))
+    sample = df.select(*columns).sample(withReplacement=False, fraction=frac, seed=seed)
+    pdf = sample.limit(sample_rows).toPandas()
+    out: dict[str, list] = {}
+    for c in columns:
+        vals = np.sort(pdf[c].dropna().to_numpy())
+        if len(vals) == 0:
+            out[c] = []
+            continue
+        # n_buckets-1 boundaries at equi-spaced quantile positions
+        k = min(n_buckets - 1, len(vals))
+        idx = np.linspace(0, len(vals) - 1, k + 2)[1:-1].astype(int)
+        bounds = vals[idx]
+        # dedupe while preserving order (heavy skew → few distinct bounds)
+        out[c] = list(pd.unique(bounds))
+    return out
+
+
+def _scaled_buckets(bounds: np.ndarray, vals: np.ndarray, bits: int) -> np.ndarray:
+    """searchsorted ordinal scaled to the full 2^bits range, so a
+    low-cardinality column (few distinct boundaries) still exercises
+    the *high* bits of its interleave dimension — otherwise a
+    high-cardinality sibling column dominates the sort order and the
+    curve degenerates to a single-column sort."""
+    if len(bounds) == 0:
+        return np.zeros(len(vals), dtype=np.int64)
+    ordinal = np.searchsorted(bounds, vals, side="right")
+    scale = (1 << bits) / (len(bounds) + 1)
+    return np.minimum((ordinal * scale).astype(np.int64), (1 << bits) - 1)
+
+
+def make_bucket_udf(boundaries, column: str, bits: int = DEFAULT_BITS):
+    """value → scaled bucket ordinal via np.searchsorted."""
+
+    def _bucket(s: pd.Series) -> pd.Series:
+        b = boundaries.value if hasattr(boundaries, "value") else boundaries
+        bounds = np.asarray(b[column], dtype=object)
+        vals = s.fillna("").to_numpy(dtype=object)
+        return pd.Series(_scaled_buckets(bounds, vals, bits))
+
+    return pandas_udf(T.LongType())(_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Morton interleave — pure column expression (JVM-side, codegen'd)
+# ---------------------------------------------------------------------------
+
+
+def morton_interleave(bucket_cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
+    """Bit-interleave k bucket ints into one long: bit i of column j
+    lands at position i*k + j. 3 cols × 16 bits → 48-bit key."""
+    k = len(bucket_cols)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(bucket_cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            acc = acc.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Hilbert index — vectorized numpy (Skilling's transpose algorithm)
+# ---------------------------------------------------------------------------
+
+
+def hilbert_index_np(coords: np.ndarray, bits: int) -> np.ndarray:
+    """coords: (n, k) uint64 bucket ordinals → (n,) uint64 Hilbert index.
+
+    Vectorized Skilling transpose: converts coordinates to the Hilbert
+    transpose form, then interleaves. Public-domain algorithm
+    (J. Skilling, "Programming the Hilbert curve", 2004)."""
+    x = coords.astype(np.uint64).copy()
+    n, k = x.shape
+    m = np.uint64(1) << np.uint64(bits - 1)
+
+    # inverse undo excess work
+    q = m
+    while q > np.uint64(1):
+        p = q - np.uint64(1)
+        for i in range(k):
+            swap = (x[:, i] & q) != 0
+            # invert low bits of x[0] where swap
+            x[swap, 0] ^= p
+            # exchange low bits of x[i] and x[0] where not swap
+            t = (x[~swap, 0] ^ x[~swap, i]) & p
+            x[~swap, 0] ^= t
+            x[~swap, i] ^= t
+        q >>= np.uint64(1)
+
+    # Gray encode
+    for i in range(1, k):
+        x[:, i] ^= x[:, i - 1]
+    t = np.zeros(n, dtype=np.uint64)
+    q = m
+    while q > np.uint64(1):
+        mask = (x[:, k - 1] & q) != 0
+        t[mask] ^= q - np.uint64(1)
+        q >>= np.uint64(1)
+    for i in range(k):
+        x[:, i] ^= t
+
+    # interleave transpose-form bits into a single index
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(bits):
+        for i in range(k):
+            bit = (x[:, i] >> np.uint64(bits - 1 - b)) & np.uint64(1)
+            out = (out << np.uint64(1)) | bit
+    return out
+
+
+def make_hilbert_udf(boundaries, columns, bits: int):
+    """All-in-one: bucket each column then Hilbert-index the tuple."""
+
+    def _hilbert(*cols: pd.Series) -> pd.Series:
+        b = boundaries.value if hasattr(boundaries, "value") else boundaries
+        n = len(cols[0])
+        coords = np.zeros((n, len(columns)), dtype=np.uint64)
+        for j, name in enumerate(columns):
+            bounds = np.asarray(b[name], dtype=object)
+            vals = cols[j].fillna("").to_numpy(dtype=object)
+            coords[:, j] = _scaled_buckets(bounds, vals, bits).astype(np.uint64)
+        return pd.Series(hilbert_index_np(coords, bits).astype(np.int64))
+
+    return pandas_udf(T.LongType())(_hilbert)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def with_cluster_key(
+    df: DataFrame,
+    columns=("repo", "lang", "path"),
+    bits: int = DEFAULT_BITS,
+    curve: str = "morton",
+    boundaries: dict | None = None,
+    sample_rows: int = 20_000,
+    key_col: str = "zkey",
+    broadcast=None,
+) -> DataFrame:
+    """Add the space-filling-curve cluster key column.
+
+    morton: bucket UDFs (one per column) + JVM bit-interleave.
+    hilbert: single pandas UDF computing bucket+index together."""
+    cols = list(columns)
+    if boundaries is None:
+        boundaries = column_boundaries(df, cols, bits=bits, sample_rows=sample_rows)
+    bc = broadcast if broadcast is not None else boundaries
+    if curve == "hilbert":
+        udf = make_hilbert_udf(bc, cols, bits)
+        return df.withColumn(key_col, udf(*[F.col(c) for c in cols]))
+    if curve != "morton":
+        raise ValueError(f"unknown curve {curve!r}")
+    bucket_cols = []
+    for c in cols:
+        udf = make_bucket_udf(bc, c, bits=bits)
+        bucket_cols.append(udf(F.col(c)))
+    return df.withColumn(key_col, morton_interleave(bucket_cols, bits=bits))

@@ -1,0 +1,184 @@
+"""Maintenance passes: compaction invariance, Z-order invariance +
+pruning power, MERGE-shred targeting, snapshot expiry refcounts,
+checkpoint resume (FIXTURES.md §4 cases 4/6/7)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
+from pi2spark.maintenance import (
+    cluster,
+    compact,
+    expire_snapshots,
+    forget_and_shred,
+    plan_bins,
+    shred,
+)
+from pi2spark.registry import KeyRegistry
+from pi2spark.spec import ProtectionSpec
+from pi2spark.synth import synthesize_source_files
+from pi2spark.table import ColumnPredicate, DataFile, Table
+from pi2spark.verify import content_digest
+
+SPEC = ProtectionSpec.for_source_files()
+
+
+@pytest.fixture()
+def loaded(spark, tmp_table_root, tmp_path):
+    """A table with 1200 rows in 8 small files + registry + baseline digest."""
+    plain = synthesize_source_files(spark, 1200, seed=42, partitions=8, max_len=2000).cache()
+    reg = KeyRegistry(str(tmp_path / "kms.jsonl"))
+    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(tmp_table_root, properties={"stats.columns": ["repo", "lang", "path", "zkey"]})
+    t.append(encrypt_table(plain, SPEC, keys), spark)
+    baseline = content_digest(plain.withColumn("shredded", F.lit(False)))
+    plain.unpersist()
+    return t, reg, keys, baseline
+
+
+def _digest(t, spark, keys):
+    return content_digest(decrypt_table(t.scan(spark), SPEC, keys))
+
+
+def test_plan_bins_first_fit_decreasing():
+    files = [DataFile(path=f"f{i}", rows=10, bytes=b) for i, b in enumerate([60, 50, 40, 30, 20, 10])]
+    bins = plan_bins(files, target_bytes=100)
+    assert all(sum(f.bytes for f in b) <= 100 for b in bins)
+    assert all(len(b) >= 2 for b in bins)
+    packed = [f.path for b in bins for f in b]
+    assert len(packed) == len(set(packed))
+
+
+def test_compaction_invariance_and_file_count(spark, loaded):
+    t, reg, keys, baseline = loaded
+    before = len(t.snapshot().files)
+    res = compact(t, spark, target_file_bytes=16 * 1024 * 1024)
+    after = len(t.snapshot().files)
+    assert after < before
+    assert res.rewritten_files == before  # all small files got packed
+    assert _digest(t, spark, keys) == baseline  # scan multiset unchanged
+    # old snapshot still scannable (snapshot isolation)
+    assert t.scan(spark, snapshot_id=1).count() == 1200
+
+
+def test_cluster_invariance_and_pruning(spark, loaded):
+    t, reg, keys, baseline = loaded
+    res = cluster(t, spark, curve="morton", target_file_bytes=48 * 1024, bits=12)
+    assert not res.skipped
+    assert _digest(t, spark, keys) == baseline
+    snap = t.snapshot()
+    assert len(snap.files) >= 8
+    # zkey sorted within files: each file's zkey [min,max] ranges should
+    # be narrow / mostly disjoint → a rare-repo predicate prunes files
+    rare = "org1/repo1"
+    _, files = t.plan_files(filters=[ColumnPredicate("repo", "eq", rare)])
+    assert len(files) < len(snap.files), "clustering should make repo pruning effective"
+    # and the pruned scan still finds every row of that repo
+    full = t.scan(spark).filter(F.col("repo") == rare).count()
+    pruned = t.scan(spark, filters=[ColumnPredicate("repo", "eq", rare)]).filter(
+        F.col("repo") == rare
+    ).count()
+    assert pruned == full > 0
+
+
+def test_hilbert_cluster_invariance(spark, loaded):
+    t, reg, keys, baseline = loaded
+    cluster(t, spark, curve="hilbert", target_file_bytes=256 * 1024, bits=12)
+    assert _digest(t, spark, keys) == baseline
+
+
+def test_shred_rewrites_only_affected_files(spark, loaded):
+    t, reg, keys, baseline = loaded
+    cluster(t, spark, curve="morton", target_file_bytes=48 * 1024, bits=12)
+    # shred a RARE subject (the realistic GDPR case): clustering
+    # concentrates its rows into few files, so the MERGE touches a
+    # small fraction of the table
+    victim = (
+        t.scan(spark).groupBy("repo").count().filter(F.col("repo") != "org0/megarepo")
+        .orderBy("count", "repo").first()["repo"]
+    )
+    n_files = len(t.snapshot().files)
+
+    res = forget_and_shred(t, spark, reg, victim)
+    assert reg.latest_key(victim) is None
+    assert 0 < res.rewritten_files <= n_files
+    # clustering means the mega repo is concentrated: not every file touched
+    assert res.details["affected_files"] < res.details["total_files"]
+
+    keys2 = broadcast_keys(spark, reg.key_map())
+    scan = decrypt_table(t.scan(spark), SPEC, keys2).cache()
+    assert scan.filter((F.col("repo") == victim) & ~F.col("shredded")).count() == 0
+    assert scan.filter((F.col("repo") == victim) & F.col("content").isNotNull()).count() == 0
+    assert scan.filter((F.col("repo") != victim) & F.col("shredded")).count() == 0
+    # ciphertext physically gone from current snapshot's files
+    snap = t.snapshot()
+    import pyarrow.parquet as pq
+
+    for f in snap.files:
+        st = f.stats.get("repo")
+        if st and st[0] <= victim <= st[1]:
+            tab = pq.read_table(os.path.join(t.root, f.path), columns=["repo", "content_enc"])
+            pdf = tab.to_pandas()
+            hit = pdf[pdf["repo"] == victim]
+            assert hit["content_enc"].isna().all()
+    scan.unpersist()
+
+
+def test_shred_noop_when_no_affected_files(spark, loaded):
+    t, reg, keys, baseline = loaded
+    res = shred(t, spark, ["org-does-not/exist"])
+    assert res.skipped
+
+
+def test_expire_deletes_unreferenced_files(spark, loaded):
+    t, reg, keys, baseline = loaded
+    snap1_files = {f.path for f in t.snapshot().files}
+    compact(t, spark, target_file_bytes=16 * 1024 * 1024)
+    cluster(t, spark, curve="morton", target_file_bytes=512 * 1024, bits=12)
+    current_files = {f.path for f in t.snapshot().files}
+
+    res = expire_snapshots(t, keep_last=1)
+    assert res["expired_snapshots"] == 2
+    # files only referenced by expired snapshots are deleted from disk
+    for p in snap1_files - current_files:
+        assert not os.path.exists(os.path.join(t.root, p))
+    for p in current_files:
+        assert os.path.exists(os.path.join(t.root, p))
+    # expired snapshot no longer scannable; current still correct
+    with pytest.raises(Exception):
+        t.scan(spark, snapshot_id=1)
+    assert _digest(t, spark, keys) == baseline
+
+
+def test_compaction_resume_after_partial_failure(spark, loaded, monkeypatch):
+    """Kill compaction after k of n bins; rerun with same pass_id
+    completes the rest; scan digest identical (FIXTURES.md §4 case 7)."""
+    t, reg, keys, baseline = loaded
+    import pi2spark.maintenance as M
+
+    calls = {"n": 0}
+    orig = M.collect_data_files
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-pass")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(M, "collect_data_files", flaky)
+    with pytest.raises(RuntimeError):
+        compact(t, spark, target_file_bytes=300 * 1024, concurrency=1, pass_id="compact-resume-test")
+    monkeypatch.setattr(M, "collect_data_files", orig)
+
+    # no commit happened: table still at snapshot 1
+    assert t.current_snapshot_id() == 1
+    res = compact(t, spark, target_file_bytes=300 * 1024, concurrency=1, pass_id="compact-resume-test")
+    assert not res.skipped
+    assert _digest(t, spark, keys) == baseline
+    # rerun after commit is a no-op
+    res2 = compact(t, spark, target_file_bytes=300 * 1024, pass_id="compact-resume-test")
+    assert res2.skipped

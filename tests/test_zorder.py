@@ -1,0 +1,82 @@
+"""Z-order/Hilbert key correctness — golden vectors (SURVEY.md §7
+hard-part 2) plus clustering-quality property."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pi2spark.zorder import (
+    column_boundaries,
+    hilbert_index_np,
+    morton_interleave,
+    with_cluster_key,
+)
+
+
+def test_morton_golden_vectors(spark):
+    # interleave(x,y) for 2D: known Morton order (x bit j at position k*i+j)
+    df = spark.createDataFrame([(x, y) for x in range(4) for y in range(4)], "x long, y long")
+    out = df.withColumn("m", morton_interleave([F.col("x"), F.col("y")], bits=2))
+    got = {(r.x, r.y): r.m for r in out.collect()}
+    # standard Morton (y in the higher interleave slot):
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(1, 1)] == 3
+    assert got[(2, 0)] == 4
+    assert got[(3, 3)] == 15
+
+
+def test_hilbert_golden_vectors():
+    # 2D, 2-bit Hilbert curve: the 4x4 grid visiting order (d∈0..15)
+    # from the canonical curve (Wikipedia "Hilbert curve" d2xy example).
+    coords = np.array([[x, y] for x in range(4) for y in range(4)], dtype=np.uint64)
+    idx = hilbert_index_np(coords, bits=2)
+    d = {(int(x), int(y)): int(v) for (x, y), v in zip(coords, idx)}
+    # every index 0..15 appears exactly once (it is a permutation)
+    assert sorted(d.values()) == list(range(16))
+    # adjacency: consecutive indices are grid neighbors (the Hilbert property)
+    inv = {v: k for k, v in d.items()}
+    for i in range(15):
+        (x1, y1), (x2, y2) = inv[i], inv[i + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"step {i}: {inv[i]}->{inv[i+1]}"
+
+
+def test_morton_locality_not_adjacent_but_bounded():
+    # Morton consecutive codes are neighbors within the same quad most
+    # of the time; just sanity: code is a bijection on the grid
+    from pyspark.sql import SparkSession
+
+    coords = [(x, y, z) for x in range(4) for y in range(4) for z in range(4)]
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame(coords, "x long, y long, z long")
+    out = df.withColumn("m", morton_interleave([F.col("x"), F.col("y"), F.col("z")], bits=2))
+    vals = sorted(r.m for r in out.collect())
+    assert vals == list(range(64))
+
+
+def test_boundaries_and_bucketing(spark):
+    df = spark.createDataFrame([(f"k{i:04d}",) for i in range(1000)], "s string")
+    bounds = column_boundaries(df, ["s"], bits=4, sample_rows=1000)
+    assert 1 <= len(bounds["s"]) <= 15
+    assert bounds["s"] == sorted(bounds["s"])
+
+
+def test_with_cluster_key_orders_like_columns(spark):
+    rows = [(f"repo{i%5}", "python", f"p{i:03d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "repo string, lang string, path string")
+    for curve in ("morton", "hilbert"):
+        keyed = with_cluster_key(df, ("repo", "lang", "path"), bits=8, curve=curve)
+        pdf = keyed.toPandas().sort_values("zkey")
+        # split key order into 5 "files"; the point of clustering is
+        # pruning power: per-chunk repo [min,max] ranges must exclude
+        # some repos from some chunks (unclustered data excludes none)
+        chunks = np.array_split(pdf, 5)
+        mean_distinct = np.mean([ch["repo"].nunique() for ch in chunks])
+        assert mean_distinct < 4.5  # strictly better than "all 5 everywhere"
+        prunable = 0
+        for target in {f"repo{i}" for i in range(5)}:
+            for ch in chunks:
+                if not (ch["repo"].min() <= target <= ch["repo"].max()):
+                    prunable += 1
+        assert prunable > 0, f"{curve}: no chunk prunable for any repo"
