@@ -1,0 +1,158 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata
+struct; all feature extraction runs as Arrow-batched ``mapInPandas``
+over bounded-size batches (binary payloads can be large, so the batch
+row-count knob matters more than for text).
+
+The actual codecs (Pillow/librosa/ffmpeg) are NOT available in this
+environment, so the decode kernels are **stubbed behind
+``PI2SPARK_FAKE_MEDIA``**: the Spark-side plumbing — schema,
+partitioning, UDF signatures, batch iteration — is real and tested
+with a deterministic fake decoder; the real decoder raises
+``NotImplementedError`` with the dependency named.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, sha256 string, "
+    f"features array<float>"
+)
+
+
+def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic fake 'decoder': derives a feature vector from the
+    payload digest. Stands in for image-decode → CNN-embed; replace
+    with a real kernel where the codec libs exist."""
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw.astype(np.float32) / np.float32(2**32)).astype(np.float32)
+
+
+def _real_decode_features(payload: bytes, media_type: str) -> np.ndarray:
+    raise NotImplementedError(
+        "real media decode requires Pillow (image) / soundfile (audio) / "
+        "av (video), none of which are installed in this environment; "
+        "set fake=True (PI2SPARK_FAKE_MEDIA) to use the deterministic stub"
+    )
+
+
+def extract_media_features(df: DataFrame, fake: bool = True, batch_limit: int = 256) -> DataFrame:
+    """payload → (n_bytes, sha256, feature vector) via mapInPandas.
+
+    The iterator form lets us re-chunk partitions so one Arrow batch
+    never holds more than ``batch_limit`` payloads (memory bound for
+    multi-MB media blobs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                feats, shas, sizes = [], [], []
+                for payload, mtype in zip(chunk["payload"], chunk["media_type"]):
+                    if payload is None:
+                        feats.append(None)
+                        shas.append(None)
+                        sizes.append(0)
+                        continue
+                    payload = bytes(payload)
+                    sizes.append(len(payload))
+                    shas.append(hashlib.sha256(payload).hexdigest())
+                    vec = (
+                        _fake_decode_features(payload)
+                        if fake
+                        else _real_decode_features(payload, mtype)
+                    )
+                    feats.append([float(x) for x in vec])
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].to_numpy(),
+                        "media_type": chunk["media_type"].to_numpy(),
+                        "n_bytes": np.array(sizes, dtype=np.int64),
+                        "sha256": shas,
+                        "features": feats,
+                    }
+                )
+
+    return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per frame timestamp
+    (explode on a JVM-side sequence — no Python until actual decode).
+    Decode of the sampled frame is the stubbed kernel above."""
+    n_frames = F.greatest(
+        (F.col("meta.duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1)
+    )
+    return (
+        df.filter(F.col("media_type") == "video")
+        .withColumn("frame_ix", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .select(
+            "media_id",
+            "frame_ix",
+            (F.col("frame_ix") * every_ms).alias("ts_ms"),
+        )
+    )
+
+
+def synthesize_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests/benchmarks."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng_payloads = [
+                hashlib.sha256(f"{seed}:{i}".encode()).digest() * (1 + int(i) % 7)
+                for i in ids
+            ]
+            types = np.array(["image", "audio", "video"])[ids % 3]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": types,
+                    "payload": rng_payloads,
+                    "meta": [
+                        {
+                            "width": int(64 + (i % 512)),
+                            "height": int(64 + (i % 256)),
+                            "duration_ms": int(1000 + (i % 10) * 500),
+                            "codec": "fake",
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return spark.range(n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)

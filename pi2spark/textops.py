@@ -1,0 +1,366 @@
+"""Text-analysis and deduplication operators for training-data
+pipelines over the ``documents`` table.
+
+These are first-class engine components (per the build contract)
+alongside the maintenance passes: at 100 TB the same table that gets
+compacted/clustered/shredded also gets deduped, language-ID'd,
+quality-scored and tokenized before training.
+
+Design rules applied throughout:
+
+- JVM-side ``pyspark.sql.functions`` wherever the semantics allow
+  (token counts, quality ratios, fingerprints, exact dedup, n-gram
+  Jaccard) — these stay inside whole-stage codegen and push down.
+- Arrow-batched pandas UDFs only where per-value algorithms are
+  unavoidable (MinHash signatures, SimHash), with all hashing
+  deterministic (splitmix64 over byte views — never Python's salted
+  ``hash``).
+- Every shuffle is on an explicit, salted-or-banded key: MinHash-LSH
+  candidate generation shuffles on (band, bucket) — never on raw
+  document text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# basic text analysis (JVM-side, SQL-mirrorable)
+# ---------------------------------------------------------------------------
+
+_WS = r"\s+"
+# BPE-ish word/number/punct splitter used for token estimates
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + char count."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(t), _WS)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH), 0)).alias("bpe_tokens"),
+        F.length(t).alias("chars"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, alpha ratio, punctuation
+    ratio, mean word length, stopword hit-rate. All ratios rounded to
+    4 decimals (stable across engines)."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("double")
+    words = F.size(F.split(F.trim(t), _WS)).cast("double")
+    stop_hits = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"\b(the|a|of|and|to|in|is|it)\b"), 0)).cast(
+        "double"
+    )
+    safe = F.greatest(n, F.lit(1.0))
+    safe_words = F.greatest(words, F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.round(alpha / safe, 4).alias("alpha_ratio"),
+        F.round(digits / safe, 4).alias("digit_ratio"),
+        F.round(punct / safe, 4).alias("punct_ratio"),
+        F.round(alpha / safe_words, 4).alias("mean_word_len"),
+        F.round(stop_hits / safe_words, 4).alias("stopword_ratio"),
+        F.round(
+            (alpha / safe) - (punct / safe) - (digits / safe) + F.least(stop_hits / safe_words, F.lit(0.5)),
+            4,
+        ).alias("quality"),
+    )
+
+
+# language-ID heuristic: per-language marker counts, argmax with a
+# fixed tie order. Mirrors classic stopword n-gram LID.
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|that|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit)\b",
+    "fr": r"\b(le|la|les|et|est|que|dans)\b",
+    "es": r"\b(el|la|los|las|es|que|con)\b",
+}
+_CJK = r"[一-鿿]"
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword-heuristic language ID over {en,de,fr,es,zh}."""
+    t = F.lower(F.col(text_col))
+    counts = {
+        lang: F.size(F.regexp_extract_all(t, F.lit(pat), 0)) for lang, pat in _LANG_MARKERS.items()
+    }
+    zh = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_CJK), 0))
+    # CJK char presence dominates; otherwise argmax in fixed order
+    best = F.when(zh > F.lit(2), F.lit("zh"))
+    expr = None
+    for lang in ["en", "de", "fr", "es"]:
+        cond = None
+        for other in ["en", "de", "fr", "es"]:
+            if other == lang:
+                continue
+            c = counts[lang] >= counts[other] if other > lang else counts[lang] > counts[other]
+            cond = c if cond is None else (cond & c)
+        expr = best.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit("en"))
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercase text (canonical content hash),
+    plus a 64-bit rolling-hash-style xxhash."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), _WS, " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy on normalized content: one group
+    per distinct text, keeper = min id. Map-side partial aggregation
+    applies; at scale the groupBy key is the md5 (fixed width), not
+    the raw text."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), _WS, " ")
+    return (
+        df.select(F.md5(norm).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
+) -> DataFrame:
+    """Token-set Jaccard between consecutive-id document pairs (a
+    bounded, SQL-mirrorable verification form of n-gram Jaccard; the
+    all-pairs scale path goes through MinHash-LSH below)."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), _WS))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    b = base.select((F.col("id") - 1).alias("id"), F.col("toks").alias("toks_b"))
+    joined = base.join(b, "id")
+    inter = F.size(F.array_intersect("toks", "toks_b")).cast("double")
+    union = (F.size("toks") + F.size("toks_b")).cast("double") - inter
+    return joined.select(
+        F.col("id").alias("doc_a"),
+        (F.col("id") + 1).alias("doc_b"),
+        F.round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
+    return x ^ (x >> np.uint64(31))
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Deterministic 64-bit hashes of the k-char shingles of a text."""
+    data = text.lower().encode("utf-8", "ignore")
+    if len(data) < k:
+        data = data + b" " * (k - len(data))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr) - k + 1
+    # polynomial-ish rolling base via strided view + splitmix finalize
+    idx = np.arange(n)[:, None] + np.arange(k)[None, :]
+    windows = arr[idx].astype(np.uint64)
+    weights = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    raw = (windows * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(_splitmix64(raw))
+
+
+def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
+    """text → array<long> MinHash signature. Vectorized numpy: the
+    signature is min over (shingle_hash XOR salt_i) per permutation —
+    the standard one-hash-function-many-salts construction."""
+    salts = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1))
+
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append(None)
+                continue
+            sh = _shingle_hashes(txt, shingle_k)
+            if len(sh) == 0:
+                out.append([0] * num_hashes)
+                continue
+            # (n_shingles, num_hashes) xor table → column minima
+            m = _splitmix64(sh[:, None] ^ salts[None, :]).min(axis=0)
+            out.append(m.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return pandas_udf(T.ArrayType(T.LongType()))(_sig)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    udf = make_minhash_udf(num_hashes, shingle_k, seed)
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH:
+
+    shingle → minhash signature → split into ``bands`` bands → band
+    bucket key = hash(band slice) → self-join within (band, bucket) →
+    dedupe candidate pairs → estimate Jaccard from full signatures →
+    filter by threshold.
+
+    Shuffle profile: one explode to (doc, band, bucket) rows, one
+    shuffle on the bucket key (fixed-width longs, map-side combined),
+    one aggregation for pair dedup. Candidate volume is controlled by
+    bands/rows-per-band, not O(n²)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+        / F.lit(float(num_hashes)),
+        4,
+    )
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def make_simhash_udf(seed: int = 42):
+    """text → 64-bit SimHash over whitespace tokens (deterministic
+    splitmix64 token hashing, numpy popcount-style bit voting)."""
+
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        bitpos = np.arange(64, dtype=np.uint64)
+        salt = np.uint64(seed)
+        for i, txt in enumerate(texts):
+            if not txt:
+                continue
+            toks = np.array(txt.lower().split(), dtype=object)
+            # pd.util.hash_array: deterministic 64-bit string hashing
+            # (fixed default key), vectorized in C
+            hs = _splitmix64(pd.util.hash_array(toks) ^ salt)
+            bits = (hs[:, None] >> bitpos[None, :]) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            val = np.uint64(0)
+            pos = votes > 0
+            val = (pos.astype(np.uint64) << bitpos).sum(dtype=np.uint64)
+            out[i] = np.int64(val)
+        return pd.Series(out)
+
+    return pandas_udf(T.LongType())(_simhash)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on 4 × 16-bit chunks (any pair
+    within hamming ≤ 3 of 64 bits shares at least one exact chunk —
+    pigeonhole), then verify hamming distance exactly."""
+    sim = make_simhash_udf(seed)
+    sigs = df.select(F.col(id_col), sim(F.col(text_col)).alias("sh"))
+    chunks = sigs.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                )
+                for c in range(4)
+            ])
+        ).alias("cb"),
+    ).select(id_col, "sh", "cb.chunk", "cb.ck")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a lakehouse training pipeline needs:
+
+- **Brute-force cosine top-k** — the exact baseline. The dot product
+  and norms are pure JVM column expressions (``F.zip_with`` +
+  ``F.aggregate``) so the scan stays inside codegen; top-k is a
+  single ``orderBy(...).limit(k)`` (Spark executes it as a TakeOrdered
+  — per-partition heaps, no full sort shuffle).
+- **LSH-bucketed ANN** — the scale path: deterministic seeded random
+  hyperplanes → sign bits → bucket key; candidates share a bucket (or
+  a neighboring probe bucket), then exact rerank within candidates.
+  Bucket count bounds the join fan-out; the hyperplane matrix is tiny
+  and broadcast in the UDF closure.
+
+Also: embedding-cosine **near-duplicate pairs** for dedup — LSH
+buckets + exact cosine verification, same shuffle profile as
+MinHash-LSH in ``textops``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_to_query(df: DataFrame, query_vec, vec_col: str = "embedding") -> F.Column:
+    """Cosine similarity column vs a literal query vector, computed in
+    double precision JVM-side."""
+    q = [float(x) for x in query_vec]
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    qcol = F.array(*[F.lit(x) for x in q])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = _dot(v, qcol)
+    vnorm = F.sqrt(_dot(v, v))
+    return dot / (vnorm * F.lit(qnorm))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine. TakeOrdered execution: no global sort."""
+    sim = F.round(cosine_to_query(df, query_vec, vec_col), 4)
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def make_lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    """embedding → LSH bucket id (sign pattern over seeded random
+    hyperplanes). The plane matrix is generated deterministically on
+    each executor from the seed — nothing to broadcast."""
+
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        out = np.zeros(len(vecs), dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        out = (signs * weights[None, :]).sum(axis=1)
+        return pd.Series(out)
+
+    return pandas_udf(T.LongType())(_bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 10,
+    probe_radius: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: restrict the exact rerank to vectors whose LSH bucket
+    is within hamming distance ``probe_radius`` of the query's bucket
+    (multi-probe LSH). Recall < 1 by construction; the exactness gate
+    is brute_force_topk."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    dim = len(q)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    qsig = int(((q @ planes) > 0).astype(np.int64) @ (1 << np.arange(n_planes)))
+    probes = {qsig}
+    frontier = {qsig}
+    for _ in range(probe_radius):
+        frontier = {s ^ (1 << b) for s in frontier for b in range(n_planes)}
+        probes |= frontier
+    probes = sorted(probes)
+
+    bucket = make_lsh_bucket_udf(dim, n_planes, seed)
+    cand = df.withColumn("__bucket", bucket(F.col(vec_col))).filter(
+        F.col("__bucket").isin(probes)
+    )
+    return brute_force_topk(cand.drop("__bucket"), q, k, vec_col, id_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs: bucket join on the
+    LSH signature, exact cosine verify, threshold filter."""
+    bucket = make_lsh_bucket_udf(
+        dim=len(df.select(vec_col).first()[0]), n_planes=n_planes, seed=seed
+    )
+    b = df.select(F.col(id_col), F.col(vec_col)).withColumn("__bucket", bucket(F.col(vec_col)))
+    l, r = b.alias("l"), b.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.__bucket") == F.col("r.__bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    va = F.transform(F.col(f"l.{vec_col}"), lambda x: x.cast("double"))
+    vb = F.transform(F.col(f"r.{vec_col}"), lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    return cand.select(
+        F.col(f"l.{id_col}").alias("doc_a"),
+        F.col(f"r.{id_col}").alias("doc_b"),
+        F.round(cos, 4).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

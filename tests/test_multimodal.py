@@ -1,0 +1,40 @@
+"""Multimodal binary-column plumbing (decode kernels stubbed)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.multimodal import (
+    FEATURE_DIM,
+    extract_media_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+
+
+def test_feature_extraction_plumbing(spark):
+    media = synthesize_media(spark, 60)
+    feats = extract_media_features(media, fake=True).cache()
+    assert feats.count() == 60
+    row = feats.first()
+    assert len(row.features) == FEATURE_DIM
+    assert len(row.sha256) == 64 and row.n_bytes > 0
+    # deterministic across runs
+    a = {r.media_id: r.sha256 for r in feats.collect()}
+    b = {r.media_id: r.sha256 for r in extract_media_features(media, fake=True).collect()}
+    assert a == b
+
+
+def test_real_decoder_is_explicit_stub(spark):
+    media = synthesize_media(spark, 3)
+    with pytest.raises(Exception) as e:
+        extract_media_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(e.value) or "decode requires" in str(e.value)
+
+
+def test_frame_sample_plan(spark):
+    media = synthesize_media(spark, 30)
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert all(r.ts_ms == r.frame_ix * 1000 for r in rows)
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    assert plan.select("media_id").distinct().count() == n_videos

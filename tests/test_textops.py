@@ -1,0 +1,118 @@
+"""Training-data text operators over the documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.textops import (
+    exact_dedup,
+    fingerprints,
+    lang_id,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash_near_dups,
+    token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_token_counts(spark, docs):
+    out = token_counts(docs).cache()
+    assert out.count() == docs.count()
+    row = out.join(docs, "doc_id").first()
+    assert row.ws_tokens >= 1 and row.bpe_tokens >= row.ws_tokens - 1
+    assert row.chars == len(row.text)
+
+
+def test_quality_scores_bounds(spark, docs):
+    out = quality_scores(docs)
+    bad = out.filter(
+        (F.col("alpha_ratio") < 0) | (F.col("alpha_ratio") > 1)
+        | (F.col("punct_ratio") < 0) | (F.col("punct_ratio") > 1)
+        | (F.col("stopword_ratio") < 0)
+    )
+    assert bad.count() == 0
+
+
+def test_lang_id_accuracy(spark, docs):
+    # the synthetic documents' text is the same vocab for every lang
+    # label, so grade on crafted texts with real language markers
+    samples = [
+        (1, "the cat and the dog ran to the house of friends", "en"),
+        (2, "der hund und die katze sind nicht mit dem mann", "de"),
+        (3, "le chat et la maison dans les rues est que belle", "fr"),
+        (4, "el perro y la casa con los amigos es que bonita", "es"),
+        (5, "这是一个中文句子 含有足够多的汉字 你好世界", "zh"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string, lang string")
+    pred = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert pred == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh"}
+    # and it runs over the real documents table with in-domain output
+    out = lang_id(docs)
+    assert out.filter(~F.col("lang_pred").isin("en", "de", "fr", "es", "zh")).count() == 0
+
+
+def test_fingerprints_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fp_md5 for r in fingerprints(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT"), (3, "unique")], "doc_id long, text string"
+    )
+    out = {r.keep_id: r.n_dups for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(df).collect()}
+    assert out[(1, 2)] == 0.6  # |{a,b,c}| / |{a,b,c,d,e}|
+    assert out[(2, 3)] == 0.0
+
+
+def test_minhash_detects_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),  # near-dup
+        (3, "completely different content about spark engines " * 20),
+        (4, base),  # exact dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_pairs(df, threshold=0.4).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.4
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame([(1, "some stable text here")], "doc_id long, text string")
+    s1 = minhash_signatures(df).first().sig
+    s2 = minhash_signatures(df).first().sig
+    assert s1 == s2 and len(s1) == 64
+
+
+def test_simhash_near_dups(spark):
+    words = ["tok%d" % i for i in range(200)]
+    a = " ".join(words)
+    b = " ".join(words[:198] + ["changed1", "changed2"])  # tiny edit
+    c = " ".join("other%d" % i for i in range(200))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dups(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

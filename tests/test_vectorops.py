@@ -1,0 +1,52 @@
+"""Similarity search over the embeddings table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.vectorops import brute_force_topk, embedding_near_dup_pairs, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return list(emb.filter(F.col("vec_id") == 0).first().embedding)
+
+
+def test_brute_force_topk_matches_numpy(spark, emb, qvec):
+    got = brute_force_topk(emb, qvec, k=10).collect()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(np.round(sims, 4), -pdf["vec_id"].to_numpy()), reverse=True)[:10]
+    expect = [(-vid, s) for s, vid in order]
+    assert [(r.vec_id, r.sim) for r in got] == [(int(v), float(s)) for v, s in expect]
+    assert got[0].vec_id == 0 and got[0].sim == 1.0  # query matches itself
+
+
+def test_lsh_topk_recall(spark, emb, qvec):
+    exact = {r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()}
+    approx = {r.vec_id for r in lsh_topk(emb, qvec, k=10, n_planes=8).collect()}
+    # multi-probe LSH at 8 planes on 500 vectors: expect decent recall
+    assert len(exact & approx) >= 5
+    assert 0 in approx
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    # plant a near-dup: vector 9001 = vector 1 + tiny noise
+    one = np.asarray(emb.filter(F.col("vec_id") == 1).first().embedding, dtype=np.float32)
+    dup = (one + np.float32(1e-4)).tolist()
+    extra = spark.createDataFrame(
+        [(9001, dup, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    df = emb.unionByName(extra)
+    pairs = {(r.doc_a, r.doc_b): r.cosine for r in embedding_near_dup_pairs(df, threshold=0.999).collect()}
+    assert (1, 9001) in pairs
+    assert all(c >= 0.999 for c in pairs.values())

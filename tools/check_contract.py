@@ -1,0 +1,106 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry at a given SF and compare against oracle_sql() via
+DuckDB (row count, column names, order-insensitive value hash)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from pi2spark.session import get_spark
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def value_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    only = set(sys.argv[1:])
+    spark = get_spark("contract-check", cores=8)
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:200]}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(rows)} rows, {dt:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            failures += 1
+            continue
+        problems = []
+        if len(rows) != len(orows):
+            problems.append(f"rowcount {len(rows)} vs {len(orows)}")
+        if sorted(cols) != sorted(ocols):
+            problems.append(f"cols {sorted(cols)} vs {sorted(ocols)}")
+        elif value_hash(rows, cols) != value_hash(orows, ocols):
+            problems.append("value-hash mismatch")
+            # show one differing line for debugging
+            order_s = sorted(range(len(cols)), key=lambda i: cols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            ls = sorted("\x1f".join(norm_cell(r[i]) for i in order_s) for r in rows)
+            lo = sorted("\x1f".join(norm_cell(r[i]) for i in order_o) for r in orows)
+            for a, b in zip(ls, lo):
+                if a != b:
+                    problems.append(f"  spark: {a[:160]}")
+                    problems.append(f"  duck : {b[:160]}")
+                    break
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(p)
+            failures += 1
+        else:
+            print(f"MATCH {name} ({len(rows)} rows, {dt:.1f}s)")
+    print("failures:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
