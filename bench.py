@@ -1,0 +1,183 @@
+"""Benchmark harness: the headline maintenance-throughput job.
+
+Per BASELINE.md protocol: deterministically synthesize the
+(repo,path,commit,lang,content) source table at the target SF as many
+small files, then wall-clock the maintenance passes only (synthesis
+and key registration excluded):
+
+    encrypt-append -> bin-pack compact -> Z-order cluster ->
+    crypto-shred (1 rare subject + 1 mid subject) -> snapshot expire ->
+    verification scan (sha256 digest)
+
+plus representative analytics operators on the driver-provided tables
+($SPARK_GRAFT_SF_DIR). Prints ONE JSON line:
+  {"metric": ..., "value": <total_sec>, "unit": "sec",
+   "queries": {phase/query: sec, ...}, "sf": ...,
+   "gb_per_hr": ..., "files_per_sec": ..., ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default all cores), BENCH_ROWS (override row count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    sf = _sf_from_dir(sf_dir)
+    n_rows = int(os.environ.get("BENCH_ROWS", "0")) or max(2000, int(sf * 1_000_000))
+
+    from pyspark.sql import functions as F
+
+    from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
+    from pi2spark.maintenance import cluster, compact, expire_snapshots, forget_and_shred
+    from pi2spark.registry import KeyRegistry
+    from pi2spark.session import get_spark
+    from pi2spark.spec import ProtectionSpec
+    from pi2spark.synth import synthesize_source_files
+    from pi2spark.table import Table
+    from pi2spark.verify import content_digest
+
+    spark = get_spark("pi2spark-bench", cores=cpus)
+    timings: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="pi2spark-bench-")
+
+    # ---- setup (NOT timed in the headline number) ----
+    spec = ProtectionSpec.for_source_files()
+    # many small files on purpose: ~500 rows per input file
+    n_small_files = max(8, n_rows // 500)
+    plain = synthesize_source_files(
+        spark, n_rows, seed=42, partitions=n_small_files, max_len=50_000
+    ).cache()
+    plain.count()  # materialize: synthesis cost must not leak into the timings
+    reg = KeyRegistry(os.path.join(root, "kms.jsonl"))
+    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(os.path.join(root, "tbl"))
+
+    # warm the Python UDF worker pool (cluster-startup cost, excluded
+    # from steady-state throughput like any cold-start)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(0, cpus * 4, numPartitions=cpus).select(_warm("id")).count()
+
+    # ---- maintenance passes (timed) ----
+    t0 = time.time()
+    t.append(encrypt_table(plain, spec, keys), spark)
+    timings["encrypt_append"] = time.time() - t0
+    plain.unpersist()
+    snap1 = t.snapshot()
+    input_bytes = sum(f.bytes for f in snap1.files)
+    input_files = len(snap1.files)
+
+    # file sizing: keep >= ~2 output files per core so rewrite groups
+    # parallelize; floor at 8 MiB so tiny benches still bin-pack
+    target_bytes = max(input_bytes // (2 * cpus), 8 << 20)
+
+    t0 = time.time()
+    rc = compact(t, spark, target_file_bytes=target_bytes, concurrency=cpus)
+    timings["compact"] = time.time() - t0
+
+    t0 = time.time()
+    rz = cluster(t, spark, curve="morton", target_file_bytes=max(input_bytes // (2 * cpus), 2 << 20), bits=16)
+    timings["zorder"] = time.time() - t0
+
+    # shred one rare subject and one mid-size subject
+    counts = t.scan(spark).groupBy("repo").count().orderBy("count", "repo").collect()
+    rare = counts[0]["repo"]
+    mid = counts[len(counts) // 2]["repo"]
+    t0 = time.time()
+    reg.forget(rare)
+    reg.forget(mid)
+    from pi2spark.maintenance import shred as shred_pass
+
+    rs = shred_pass(t, spark, [rare, mid], target_file_bytes=target_bytes, concurrency=cpus)
+    timings["shred"] = time.time() - t0
+
+    t0 = time.time()
+    expire_snapshots(t, keep_last=1)
+    timings["expire"] = time.time() - t0
+
+    t0 = time.time()
+    keys2 = broadcast_keys(spark, reg.key_map())
+    digest = content_digest(decrypt_table(t.scan(spark), spec, keys2))
+    timings["verify_scan"] = time.time() - t0
+
+    maint_sec = sum(timings.values())
+    files_rewritten = input_files + rc.rewritten_files + rz.rewritten_files + rs.rewritten_files
+    bytes_moved = input_bytes + rc.rewritten_bytes + rz.rewritten_bytes + rs.rewritten_bytes
+
+    # ---- analytics operators on the provided tables (timed per query) ----
+    if os.environ.get("BENCH_SKIP_ANALYTICS"):
+        _emit(timings, sf, n_rows, input_files, input_bytes, maint_sec,
+              files_rewritten, bytes_moved, cpus, digest, root)
+        return
+
+    import __spark_entry__ as entrymod
+
+    analytics = [
+        "pricing_summary",
+        "exact_dedup",
+        "minhash_dedup",
+        "ann_topk",
+        "quality_scores",
+        "zorder_morton",
+    ]
+    qs = entrymod.queries()
+    for name in analytics:
+        best = float("inf")
+        for _ in range(2):  # min-of-2: drop one-off scheduler/GC hiccups
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[f"q_{name}"] = best
+
+    _emit(timings, sf, n_rows, input_files, input_bytes, maint_sec,
+          files_rewritten, bytes_moved, cpus, digest, root)
+
+
+def _emit(timings, sf, n_rows, input_files, input_bytes, maint_sec,
+          files_rewritten, bytes_moved, cpus, digest, root):
+    out = {
+        "metric": "maintenance throughput (compact+zorder+shred+expire) over SF source-code table",
+        "value": round(maint_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "rows": n_rows,
+        "input_files": input_files,
+        "input_gb": round(input_bytes / 1e9, 4),
+        "gb_per_hr": round((bytes_moved / 1e9) / (maint_sec / 3600.0), 2),
+        "files_per_sec": round(files_rewritten / maint_sec, 2),
+        "cpus": cpus,
+        "scan_digest": digest,
+        "total_sec": round(sum(timings.values()), 3),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+if __name__ == "__main__":
+    main()

@@ -64,10 +64,13 @@ def _new_pass_id(prefix: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def plan_bins(files: list[DataFile], target_bytes: int, small_ratio: float = 0.75):
+def plan_bins(
+    files: list[DataFile], target_bytes: int, small_ratio: float = 0.75, min_files: int = 2
+):
     """First-fit-decreasing bin packing of small files into
     ~target-size rewrite groups. Deterministic: files sorted by
-    (size desc, path)."""
+    (size desc, path). ``min_files=1`` packs everything (used by shred,
+    where every affected file must be rewritten regardless)."""
     small = [f for f in files if f.bytes < target_bytes * small_ratio]
     small.sort(key=lambda f: (-f.bytes, f.path))
     bins: list[list[DataFile]] = []
@@ -82,7 +85,7 @@ def plan_bins(files: list[DataFile], target_bytes: int, small_ratio: float = 0.7
             bins.append([f])
             totals.append(f.bytes)
     # a bin of one file is a rename with no benefit — leave it alone
-    return [b for b in bins if len(b) >= 2]
+    return [b for b in bins if len(b) >= min_files]
 
 
 def compact(
@@ -108,6 +111,7 @@ def compact(
 
     rel_dir, abs_dir = table.new_data_dir(f"compact-{pass_id}")
     stat_cols = table.stats_columns()
+    bloom_cols = table.bloom_columns()
 
     def run_bin(i: int, bin_files: list[DataFile]) -> dict:
         task_id = f"bin-{i:05d}"
@@ -123,7 +127,7 @@ def compact(
             for n in sorted(os.listdir(out_abs))
             if n.endswith(".parquet")
         ]
-        added = collect_data_files(table.root, rels, stat_cols)
+        added = collect_data_files(table.root, rels, stat_cols, bloom_cols=bloom_cols)
         result = {
             "inputs": [f.path for f in bin_files],
             "outputs": [a.to_json() for a in added],
@@ -199,12 +203,23 @@ def cluster(
         added = [DataFile.from_json(d) for d in prior["outputs"]]
     else:
         df = table.scan(spark, snapshot_id=snap.snapshot_id)
-        boundaries = column_boundaries(df, list(columns), bits=bits, sample_rows=sample_rows)
+        boundaries = column_boundaries(
+            df,
+            list(columns),
+            bits=bits,
+            sample_rows=sample_rows,
+            total_rows=sum(f.rows for f in snap.files),  # manifest knows; no count job
+        )
         bc = spark.sparkContext.broadcast(boundaries)
         keyed = with_cluster_key(df, columns, bits=bits, curve=curve, boundaries=boundaries, broadcast=bc)
+        # persist the keyed frame: repartitionByRange runs a sampling
+        # job over its input before the shuffle — without the persist,
+        # the scan + key UDF execute twice end-to-end
+        keyed = keyed.persist()
         tiebreak = "commit" if "commit" in df.columns else columns[-1]
         clustered = keyed.repartitionByRange(n_files, F.col("zkey"), F.col(tiebreak)).sortWithinPartitions("zkey")
         added = table.write_files(clustered, spark, tag=f"{curve}-{pass_id}")
+        keyed.unpersist()
         ledger.record_task(
             task_id,
             {
@@ -247,13 +262,17 @@ def shred(
     envelope_columns=("content_enc",),
     concurrency: int = DEFAULT_CONCURRENCY,
     pass_id: str | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
 ) -> PassResult:
     """MERGE-INTO-style erasure: rewrite **only** the data files whose
     stats may contain a forgotten subject, tombstoning that subject's
     rows (envelope → NULL, shredded → true). All other files are
-    untouched manifest entries. The caller must already have FORGOTTEN
-    the subject's key (``KeyRegistry.forget``) — key deletion is what
-    makes the ciphertext unrecoverable; this pass removes the bytes."""
+    untouched manifest entries. Affected files are bin-packed into
+    ~target-size rewrite groups (one concurrent job each — per-file
+    jobs would pay one fixed job overhead per file). The caller must
+    already have FORGOTTEN the subject's key (``KeyRegistry.forget``)
+    — key deletion is what makes the ciphertext unrecoverable; this
+    pass removes the bytes."""
     t0 = time.time()
     subjects = sorted(set(subjects))
     pass_id = pass_id or _new_pass_id("shred")
@@ -271,6 +290,7 @@ def shred(
 
     rel_dir, abs_dir = table.new_data_dir(f"shred-{pass_id}")
     stat_cols = table.stats_columns()
+    bloom_cols = table.bloom_columns()
     forget_df = spark.createDataFrame(
         [(s,) for s in subjects], f"{subject_column} string"
     ).withColumn("__forget", F.lit(True))
@@ -284,32 +304,40 @@ def shred(
         out = out.withColumn("shredded", F.col("shredded") | hit)
         return out.drop("__forget").select(*df.columns)
 
-    def run_file(i: int, f: DataFile) -> dict:
-        task_id = f"file-{i:05d}"
+    groups = plan_bins(affected, target_file_bytes, small_ratio=1.01, min_files=1)
+
+    def run_group(i: int, group: list[DataFile]) -> dict:
+        task_id = f"group-{i:05d}"
         prior = ledger.task_result(task_id)
         if prior:
             return prior
         s = time.time()
         out_abs = os.path.join(abs_dir, task_id)
-        src = spark.read.parquet(os.path.join(table.root, f.path))
-        tombstone(src).coalesce(1).write.mode("overwrite").parquet(out_abs)
+        src = spark.read.parquet(*[os.path.join(table.root, f.path) for f in group])
+        # coalesce first, then restore key order inside the single
+        # output partition if the table is clustered (coalesce after a
+        # sort would concatenate, not merge)
+        body = tombstone(src).coalesce(1)
+        if "zkey" in src.columns:
+            body = body.sortWithinPartitions("zkey")
+        body.write.mode("overwrite").parquet(out_abs)
         rels = [
             os.path.join(rel_dir, task_id, n)
             for n in sorted(os.listdir(out_abs))
             if n.endswith(".parquet")
         ]
-        added = collect_data_files(table.root, rels, stat_cols)
+        added = collect_data_files(table.root, rels, stat_cols, bloom_cols=bloom_cols)
         result = {
-            "inputs": [f.path],
+            "inputs": [f.path for f in group],
             "outputs": [a.to_json() for a in added],
             "rows": sum(a.rows for a in added),
-            "bytes_in": f.bytes,
+            "bytes_in": sum(f.bytes for f in group),
         }
         ledger.record_task(task_id, result, metrics={"seconds": time.time() - s})
         return result
 
     with ThreadPoolExecutor(max_workers=concurrency) as ex:
-        results = list(ex.map(lambda ix: run_file(*ix), enumerate(affected)))
+        results = list(ex.map(lambda ix: run_group(*ix), enumerate(groups)))
 
     removed = [p for r in results for p in r["inputs"]]
     added = [DataFile.from_json(d) for r in results for d in r["outputs"]]

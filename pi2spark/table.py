@@ -57,6 +57,8 @@ from pi2spark.errors import ConcurrentCommitError, Pi2SparkError
 
 STATS_COLUMNS_PROP = "stats.columns"
 DEFAULT_STATS_COLUMNS = ["repo", "path", "lang", "zkey"]
+BLOOM_COLUMNS_PROP = "bloom.columns"
+DEFAULT_BLOOM_COLUMNS = ["repo"]  # subject column: exact shred targeting
 
 
 # ---------------------------------------------------------------------------
@@ -73,13 +75,24 @@ class DataFile:
     bytes: int
     # col -> [min, max] (JSON-serializable scalars); absent cols unknown
     stats: dict = field(default_factory=dict)
+    # col -> base64 bloom bitset (pi2spark.bloom); Iceberg-puffin analogue
+    blooms: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
-        return {"path": self.path, "rows": self.rows, "bytes": self.bytes, "stats": self.stats}
+        d = {"path": self.path, "rows": self.rows, "bytes": self.bytes, "stats": self.stats}
+        if self.blooms:
+            d["blooms"] = self.blooms
+        return d
 
     @classmethod
     def from_json(cls, d: dict) -> "DataFile":
-        return cls(path=d["path"], rows=d["rows"], bytes=d["bytes"], stats=d.get("stats", {}))
+        return cls(
+            path=d["path"],
+            rows=d["rows"],
+            bytes=d["bytes"],
+            stats=d.get("stats", {}),
+            blooms=d.get("blooms", {}),
+        )
 
 
 @dataclass
@@ -97,8 +110,12 @@ class Snapshot:
 # ---------------------------------------------------------------------------
 
 
-def _footer_stats(abs_path: str, stat_cols: Sequence[str]) -> tuple[int, int, dict]:
-    """Read one Parquet footer: (rows, bytes, {col: [min,max]})."""
+def _footer_stats(
+    abs_path: str, stat_cols: Sequence[str], bloom_cols: Sequence[str] = ()
+) -> tuple[int, int, dict, dict]:
+    """Read one Parquet footer: (rows, bytes, {col: [min,max]},
+    {col: bloom_b64}). Bloom columns additionally read that column's
+    values (projected read — a few KB for the subject column)."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(abs_path)
@@ -128,7 +145,17 @@ def _footer_stats(abs_path: str, stat_cols: Sequence[str]) -> tuple[int, int, di
             if name not in maxs or mx > maxs[name]:
                 maxs[name] = mx
     stats = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
-    return rows, size, stats
+    blooms: dict = {}
+    present = {meta.row_group(0).column(ci).path_in_schema for ci in range(meta.num_columns)} if meta.num_row_groups else set()
+    for c in bloom_cols:
+        if c not in present or rows == 0:
+            continue
+        from pi2spark.bloom import build_bloom
+
+        tab = pq.read_table(abs_path, columns=[c])
+        distinct = tab.column(c).unique().to_pylist()
+        blooms[c] = build_bloom([v for v in distinct if v is not None])
+    return rows, size, stats, blooms
 
 
 def collect_data_files(
@@ -136,9 +163,11 @@ def collect_data_files(
     rel_paths: Sequence[str],
     stat_cols: Sequence[str],
     spark: SparkSession | None = None,
-    distribute_threshold: int = 256,
+    distribute_threshold: int = 64,
+    bloom_cols: Sequence[str] = DEFAULT_BLOOM_COLUMNS,
 ) -> list[DataFile]:
-    """Build DataFile entries (footer stats) for the given files.
+    """Build DataFile entries (footer stats + subject blooms) for the
+    given files.
 
     Distributed over executors for large file counts (shared-storage
     assumption, same as any object-store lakehouse); driver threads
@@ -146,12 +175,13 @@ def collect_data_files(
     if spark is not None and len(rel_paths) >= distribute_threshold:
         sc = spark.sparkContext
         cols = list(stat_cols)
+        bcols = list(bloom_cols)
         rootv = root
 
         def part(paths):
             for p in paths:
-                rows, size, stats = _footer_stats(os.path.join(rootv, p), cols)
-                yield (p, rows, size, json.dumps(stats))
+                rows, size, stats, blooms = _footer_stats(os.path.join(rootv, p), cols, bcols)
+                yield (p, rows, size, json.dumps(stats), json.dumps(blooms))
 
         results = (
             sc.parallelize(list(rel_paths), max(1, len(rel_paths) // 64))
@@ -159,13 +189,14 @@ def collect_data_files(
             .collect()
         )
         return [
-            DataFile(path=p, rows=r, bytes=b, stats=json.loads(s)) for p, r, b, s in results
+            DataFile(path=p, rows=r, bytes=b, stats=json.loads(s), blooms=json.loads(bl))
+            for p, r, b, s, bl in results
         ]
     from concurrent.futures import ThreadPoolExecutor
 
     def one(p: str) -> DataFile:
-        rows, size, stats = _footer_stats(os.path.join(root, p), stat_cols)
-        return DataFile(path=p, rows=rows, bytes=size, stats=stats)
+        rows, size, stats, blooms = _footer_stats(os.path.join(root, p), stat_cols, bloom_cols)
+        return DataFile(path=p, rows=rows, bytes=size, stats=stats, blooms=blooms)
 
     with ThreadPoolExecutor(max_workers=16) as ex:
         return list(ex.map(one, rel_paths))
@@ -190,6 +221,13 @@ class ColumnPredicate:
     values: tuple = ()
 
     def may_match(self, f: DataFile) -> bool:
+        # bloom check first for equality predicates — near-exact
+        if self.op in ("eq", "in") and self.column in f.blooms:
+            from pi2spark.bloom import bloom_may_contain_any
+
+            vals = (self.value,) if self.op == "eq" else self.values
+            if not bloom_may_contain_any(f.blooms[self.column], vals):
+                return False
         st = f.stats.get(self.column)
         if not st:
             return True
@@ -260,6 +298,9 @@ class Table:
 
     def stats_columns(self) -> list[str]:
         return self.properties.get(STATS_COLUMNS_PROP, DEFAULT_STATS_COLUMNS)
+
+    def bloom_columns(self) -> list[str]:
+        return self.properties.get(BLOOM_COLUMNS_PROP, DEFAULT_BLOOM_COLUMNS)
 
     # -- snapshots --
 
@@ -393,7 +434,9 @@ class Table:
             if name.endswith(".parquet")
         ]
         cols = list(stat_cols if stat_cols is not None else self.stats_columns())
-        return collect_data_files(self.root, rels, cols, spark=spark)
+        return collect_data_files(
+            self.root, rels, cols, spark=spark, bloom_cols=self.bloom_columns()
+        )
 
     def append(
         self,

@@ -44,15 +44,21 @@ DEFAULT_BITS = 16
 
 
 def column_boundaries(
-    df: DataFrame, columns, bits: int = DEFAULT_BITS, sample_rows: int = 20_000, seed: int = 42
+    df: DataFrame,
+    columns,
+    bits: int = DEFAULT_BITS,
+    sample_rows: int = 20_000,
+    seed: int = 42,
+    total_rows: int | None = None,
 ) -> dict[str, list]:
     """Per-column sorted boundary lists (len = 2^bits - 1 at most).
 
     One bounded sample job for all columns; boundaries are quantiles of
     the sample. Driver cost is O(columns × sample_rows) regardless of
-    table size."""
+    table size. Pass ``total_rows`` (e.g. from manifest stats) to avoid
+    a count job."""
     n_buckets = 1 << bits
-    total = df.count()
+    total = total_rows if total_rows is not None else df.count()
     frac = min(1.0, (sample_rows * 1.2) / max(total, 1))
     sample = df.select(*columns).sample(withReplacement=False, fraction=frac, seed=seed)
     pdf = sample.limit(sample_rows).toPandas()
@@ -163,6 +169,36 @@ def hilbert_index_np(coords: np.ndarray, bits: int) -> np.ndarray:
     return out
 
 
+def morton_interleave_np(coords: np.ndarray, bits: int) -> np.ndarray:
+    """coords: (n, k) uint64 → (n,) uint64 Morton code (vectorized)."""
+    n, k = coords.shape
+    out = np.zeros(n, dtype=np.uint64)
+    for i in range(bits):
+        for j in range(k):
+            bit = (coords[:, j] >> np.uint64(i)) & np.uint64(1)
+            out |= bit << np.uint64(i * k + j)
+    return out
+
+
+def make_morton_udf(boundaries, columns, bits: int):
+    """All-in-one Morton key: bucket all columns + interleave inside a
+    single Arrow pass. One UDF invocation per batch (vs one per column
+    + JVM interleave) — the strings must cross into Python for the
+    boundary search anyway, so a single transfer is strictly cheaper."""
+
+    def _morton(*cols: pd.Series) -> pd.Series:
+        b = boundaries.value if hasattr(boundaries, "value") else boundaries
+        n = len(cols[0])
+        coords = np.zeros((n, len(columns)), dtype=np.uint64)
+        for j, name in enumerate(columns):
+            bounds = np.asarray(b[name], dtype=object)
+            vals = cols[j].fillna("").to_numpy(dtype=object)
+            coords[:, j] = _scaled_buckets(bounds, vals, bits).astype(np.uint64)
+        return pd.Series(morton_interleave_np(coords, bits).astype(np.int64))
+
+    return pandas_udf(T.LongType())(_morton)
+
+
 def make_hilbert_udf(boundaries, columns, bits: int):
     """All-in-one: bucket each column then Hilbert-index the tuple."""
 
@@ -193,22 +229,26 @@ def with_cluster_key(
     sample_rows: int = 20_000,
     key_col: str = "zkey",
     broadcast=None,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Add the space-filling-curve cluster key column.
 
-    morton: bucket UDFs (one per column) + JVM bit-interleave.
-    hilbert: single pandas UDF computing bucket+index together."""
+    Both curves run as ONE pandas UDF per batch (bucket lookup +
+    index computation together): the strings must reach Python for the
+    boundary searchsorted regardless, so a single Arrow transfer is
+    the cheapest shape. ``morton_interleave`` (the pure column-
+    expression form) remains available for integer columns that never
+    need bucketing."""
     cols = list(columns)
     if boundaries is None:
-        boundaries = column_boundaries(df, cols, bits=bits, sample_rows=sample_rows)
+        boundaries = column_boundaries(
+            df, cols, bits=bits, sample_rows=sample_rows, total_rows=total_rows
+        )
     bc = broadcast if broadcast is not None else boundaries
     if curve == "hilbert":
         udf = make_hilbert_udf(bc, cols, bits)
-        return df.withColumn(key_col, udf(*[F.col(c) for c in cols]))
-    if curve != "morton":
+    elif curve == "morton":
+        udf = make_morton_udf(bc, cols, bits)
+    else:
         raise ValueError(f"unknown curve {curve!r}")
-    bucket_cols = []
-    for c in cols:
-        udf = make_bucket_udf(bc, c, bits=bits)
-        bucket_cols.append(udf(F.col(c)))
-    return df.withColumn(key_col, morton_interleave(bucket_cols, bits=bits))
+    return df.withColumn(key_col, udf(*[F.col(c) for c in cols]))

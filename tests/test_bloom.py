@@ -1,0 +1,69 @@
+"""Per-file subject Bloom filters: unit props + shred-targeting gain."""
+
+from pyspark.sql import functions as F
+
+from pi2spark.bloom import bloom_may_contain, build_bloom
+from pi2spark.crypto import broadcast_keys, encrypt_table
+from pi2spark.maintenance import cluster, shred
+from pi2spark.registry import KeyRegistry
+from pi2spark.spec import ProtectionSpec
+from pi2spark.synth import synthesize_source_files
+from pi2spark.table import ColumnPredicate, Table
+
+
+def test_bloom_membership_and_fpr():
+    members = [f"org{i}/repo{i%7}" for i in range(400)]
+    b = build_bloom(members)
+    assert all(bloom_may_contain(b, m) for m in members)  # no false negatives
+    probes = [f"absent{i}/x" for i in range(2000)]
+    fpr = sum(bloom_may_contain(b, p) for p in probes) / len(probes)
+    assert fpr < 0.1, f"false positive rate too high: {fpr}"
+
+
+def test_bloom_deterministic():
+    assert build_bloom(["a", "b"]) == build_bloom(["b", "a"])  # order-free
+
+
+def test_shred_targeting_with_blooms(spark, tmp_table_root, tmp_path):
+    spec = ProtectionSpec.for_source_files()
+    plain = synthesize_source_files(spark, 1500, seed=42, partitions=8, max_len=1500).cache()
+    reg = KeyRegistry()
+    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(tmp_table_root)
+    t.append(encrypt_table(plain, spec, keys), spark)
+    cluster(t, spark, curve="morton", target_file_bytes=32 * 1024, bits=12)
+
+    snap = t.snapshot()
+    assert all("repo" in f.blooms for f in snap.files)
+
+    victim = (
+        t.scan(spark).groupBy("repo").count().filter(F.col("repo") != "org0/megarepo")
+        .orderBy("count", "repo").first()["repo"]
+    )
+    # bloom-pruned plan vs stats-only plan
+    pred = ColumnPredicate("repo", "eq", victim)
+    bloom_files = [f for f in snap.files if pred.may_match(f)]
+    stats_only = [
+        f for f in snap.files
+        if not f.stats.get("repo") or f.stats["repo"][0] <= victim <= f.stats["repo"][1]
+    ]
+    truth = {
+        r.file
+        for r in t.scan(spark).filter(F.col("repo") == victim)
+        .select(F.input_file_name().alias("file")).distinct().collect()
+    }
+    # no false negatives: every file truly containing the victim survives
+    assert len(bloom_files) >= len(truth) > 0
+    # and blooms prune at least as tightly as stats (typically much tighter)
+    assert len(bloom_files) <= len(stats_only)
+
+    reg.forget(victim)
+    res = shred(t, spark, [victim], target_file_bytes=32 * 1024)
+    assert res.details["affected_files"] == len(bloom_files)
+    # correctness: victim fully tombstoned
+    from pi2spark.crypto import decrypt_table
+
+    scan = decrypt_table(t.scan(spark), spec, broadcast_keys(spark, reg.key_map()))
+    assert scan.filter((F.col("repo") == victim) & ~F.col("shredded")).count() == 0
+    plain.unpersist()
