@@ -82,16 +82,21 @@ def main() -> None:
     input_bytes = sum(f.bytes for f in snap1.files)
     input_files = len(snap1.files)
 
-    # file sizing: keep >= ~2 output files per core so rewrite groups
-    # parallelize; floor at 8 MiB so tiny benches still bin-pack
-    target_bytes = max(input_bytes // (2 * cpus), 8 << 20)
+    # file sizing is a property of the TABLE, not of the parallelism
+    # level — the scaling comparison must run the identical plan at
+    # both core counts (same bins, same output file count), with only
+    # the number of concurrent slots differing. ~64 rewrite groups
+    # gives every level ≥2 waves of work; floor at 8 MiB.
+    target_bytes = int(os.environ.get("BENCH_TARGET_BYTES", "0")) or max(
+        input_bytes // 64, 8 << 20
+    )
 
     t0 = time.time()
     rc = compact(t, spark, target_file_bytes=target_bytes, concurrency=cpus)
     timings["compact"] = time.time() - t0
 
     t0 = time.time()
-    rz = cluster(t, spark, curve="morton", target_file_bytes=max(input_bytes // (2 * cpus), 2 << 20), bits=16)
+    rz = cluster(t, spark, curve="morton", target_file_bytes=target_bytes, bits=16)
     timings["zorder"] = time.time() - t0
 
     # shred one rare subject and one mid-size subject

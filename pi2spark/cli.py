@@ -1,0 +1,161 @@
+"""spark-submit entry point for the maintenance engine.
+
+The north rule (BASELINE.json:14) requires the engine to run via
+``spark-submit --py-files`` on a multi-executor cluster. Package and
+launch:
+
+    python tools/make_pyfiles.py                 # -> dist/pi2spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/pi2spark.zip \\
+        pi2spark/cli.py <command> --table /path/to/table [options]
+
+Commands (one maintenance pass each — composable from a scheduler):
+
+    init      create a table
+    ingest    synthesize + encrypt-append (demo/bench ingestion)
+    compact   bin-packing small-file compaction (B3)
+    cluster   Z-order / Hilbert clustering rewrite (B4)
+    shred     FORGET subjects + MERGE-shred their rows (B8 + A19 FORGET)
+    expire    reference-counted snapshot expiry (B7)
+    verify    decrypted scan digest (B11 invariant surface)
+    status    snapshot log + file counts
+
+All passes accept ``--pass-id`` for checkpoint resume (B10): rerunning
+a killed pass with the same id skips completed rewrite groups.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    # under spark-submit the session master/conf come from the submit
+    # command; builder.getOrCreate() attaches to it
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.appName(f"pi2spark-{args.command}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    if args.local_cores:
+        b = b.master(f"local[{args.local_cores}]").config(
+            "spark.sql.shuffle.partitions", str(args.local_cores)
+        )
+    return b.getOrCreate()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pi2spark", description=__doc__)
+    p.add_argument("command", choices=[
+        "init", "ingest", "compact", "cluster", "shred", "expire", "verify", "status"
+    ])
+    p.add_argument("--table", required=True, help="table root directory")
+    p.add_argument("--registry", help="KMS command-log path (default <table>/../kms.jsonl)")
+    p.add_argument("--pass-id", default=None, help="resume a previous pass")
+    p.add_argument("--target-file-mb", type=int, default=128)
+    p.add_argument("--curve", choices=["morton", "hilbert"], default="morton")
+    p.add_argument("--cluster-columns", default="repo,lang,path")
+    p.add_argument("--bits", type=int, default=16)
+    p.add_argument("--subjects", default="", help="comma-separated subjects to shred")
+    p.add_argument("--keep-last", type=int, default=1)
+    p.add_argument("--rows", type=int, default=100_000, help="ingest: rows to synthesize")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--concurrency", type=int, default=8)
+    p.add_argument("--local-cores", type=int, default=0,
+                   help="run on local[N] instead of the submitted master")
+    args = p.parse_args(argv)
+
+    import os
+
+    from pi2spark.table import Table
+
+    registry_path = args.registry or os.path.join(os.path.dirname(args.table.rstrip("/")), "kms.jsonl")
+    target = args.target_file_mb << 20
+    out: dict = {"command": args.command, "table": args.table}
+
+    if args.command == "init":
+        Table.create(args.table)
+        out["created"] = True
+        print(json.dumps(out))
+        return 0
+
+    t = Table.load(args.table)
+
+    if args.command == "status":
+        meta = t._metadata()
+        out["current_snapshot_id"] = meta["current_snapshot_id"]
+        out["snapshots"] = [
+            {k: s[k] for k in ("snapshot_id", "operation", "timestamp_ms")} | s.get("summary", {})
+            for s in meta["snapshots"]
+        ]
+        print(json.dumps(out))
+        return 0
+
+    if args.command == "expire":
+        from pi2spark.maintenance import expire_snapshots
+
+        out.update(expire_snapshots(t, keep_last=args.keep_last))
+        print(json.dumps(out))
+        return 0
+
+    spark = _spark(args)
+    from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
+    from pi2spark.registry import KeyRegistry
+    from pi2spark.spec import ProtectionSpec
+
+    spec = ProtectionSpec.for_source_files()
+    reg = KeyRegistry(registry_path)
+
+    if args.command == "ingest":
+        from pi2spark.synth import synthesize_source_files
+
+        plain = synthesize_source_files(spark, args.rows, seed=args.seed).cache()
+        reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+        keys = broadcast_keys(spark, reg.key_map())
+        snap = t.append(encrypt_table(plain, spec, keys), spark)
+        out.update({"snapshot_id": snap.snapshot_id, "rows": snap.summary["total-rows"]})
+    elif args.command == "compact":
+        from pi2spark.maintenance import compact
+
+        r = compact(t, spark, target_file_bytes=target,
+                    concurrency=args.concurrency, pass_id=args.pass_id)
+        out.update(r.__dict__ | {"details": r.details})
+    elif args.command == "cluster":
+        from pi2spark.maintenance import cluster
+
+        r = cluster(t, spark, columns=tuple(args.cluster_columns.split(",")),
+                    curve=args.curve, bits=args.bits,
+                    target_file_bytes=target, pass_id=args.pass_id)
+        out.update(r.__dict__ | {"details": r.details})
+    elif args.command == "shred":
+        from pi2spark.maintenance import shred
+
+        subjects = [s for s in args.subjects.split(",") if s]
+        if not subjects:
+            print("error: --subjects required for shred", file=sys.stderr)
+            return 2
+        for s in subjects:
+            reg.forget(s)
+        r = shred(t, spark, subjects, target_file_bytes=target,
+                  concurrency=args.concurrency, pass_id=args.pass_id)
+        out.update(r.__dict__ | {"details": r.details})
+    elif args.command == "verify":
+        from pi2spark.verify import content_digest
+
+        keys = broadcast_keys(spark, reg.key_map())
+        scan = decrypt_table(t.scan(spark), spec, keys)
+        out["scan_digest"] = content_digest(scan)
+        out["rows"] = int(out["scan_digest"].rsplit("-", 1)[1])
+
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -215,7 +215,12 @@ def cluster(
         # persist the keyed frame: repartitionByRange runs a sampling
         # job over its input before the shuffle — without the persist,
         # the scan + key UDF execute twice end-to-end
-        keyed = keyed.persist()
+        from pyspark import StorageLevel
+
+        # DISK_ONLY: the keyed frame is the whole table — caching it
+        # deserialized on-heap makes high-core runs GC-thrash; local
+        # disk (page-cache-backed) rereads are cheap and heap-neutral
+        keyed = keyed.persist(StorageLevel.DISK_ONLY)
         tiebreak = "commit" if "commit" in df.columns else columns[-1]
         clustered = keyed.repartitionByRange(n_files, F.col("zkey"), F.col(tiebreak)).sortWithinPartitions("zkey")
         added = table.write_files(clustered, spark, tag=f"{curve}-{pass_id}")

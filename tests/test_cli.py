@@ -1,0 +1,51 @@
+"""spark-submit CLI surface (SURVEY.md §2 A23 / north rule
+deployment): drive the maintenance lifecycle through pi2spark.cli
+main() and verify via its own verify command."""
+
+import json
+import os
+
+from pi2spark.cli import main
+
+
+def _run(capsys, *argv) -> dict:
+    rc = main(list(argv))
+    assert rc == 0, f"cli failed: {argv}"
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_lifecycle(tmp_path, capsys, spark):
+    tbl = str(tmp_path / "tbl")
+    common = ["--table", tbl, "--local-cores", "8"]
+
+    _run(capsys, "init", *common)
+    r = _run(capsys, "ingest", *common, "--rows", "800", "--seed", "42")
+    assert r["rows"] == 800
+
+    v1 = _run(capsys, "verify", *common)
+    assert v1["rows"] == 800
+
+    r = _run(capsys, "compact", *common, "--target-file-mb", "4")
+    assert r["snapshot_id"] == 2
+
+    r = _run(capsys, "cluster", *common, "--target-file-mb", "1", "--bits", "12")
+    assert not r["skipped"]
+
+    r = _run(capsys, "shred", *common, "--subjects", "org0/megarepo", "--target-file-mb", "4")
+    assert r["rewritten_files"] >= 1
+
+    r = _run(capsys, "expire", *common, "--keep-last", "1")
+    assert r["expired_snapshots"] >= 1
+
+    v2 = _run(capsys, "verify", *common)
+    assert v2["rows"] == 800
+    assert v2["scan_digest"] != v1["scan_digest"]  # megarepo rows tombstoned
+
+    s = _run(capsys, "status", *common)
+    assert s["current_snapshot_id"] >= 4
+
+    # registry persisted next to the table (kms.jsonl) with a FORGET
+    kms = os.path.join(os.path.dirname(tbl), "kms.jsonl")
+    cmds = [json.loads(l) for l in open(kms)]
+    assert any(c["command"] == "FORGET" and c["subject_id"] == "org0/megarepo" for c in cmds)

@@ -1,0 +1,46 @@
+"""Multi-PII-column fan-out (SURVEY.md §2 A10): the reference swaps
+all PII fields of a record in parallel (ProtobufPersonalMetadata
+parallelStream); here each PII column gets its own envelope column in
+one select. Roundtrip + shred must cover every PII column."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
+from pi2spark.registry import KeyRegistry
+from pi2spark.spec import ProtectionSpec
+
+
+def test_two_pii_columns_roundtrip_and_shred(spark):
+    spec = ProtectionSpec(
+        subject_column="user", pii_columns=("email", "bio"), table_name="profiles"
+    )
+    rows = [
+        Row(user="u1", email="u1@example.com", bio="likes spark", age=30),
+        Row(user="u2", email="u2@example.com", bio="likes kafka", age=40),
+    ]
+    df = spark.createDataFrame(rows)
+    reg = KeyRegistry()
+    reg.register_all(["u1", "u2"])
+    keys = broadcast_keys(spark, reg.key_map())
+
+    enc = encrypt_table(df, spec, keys)
+    assert {"email_enc", "bio_enc"} <= set(enc.columns)
+    assert "email" not in enc.columns and "bio" not in enc.columns
+    assert "age" in enc.columns  # non-PII untouched
+    row = enc.filter(F.col("user") == "u1").first()
+    assert row.email_enc.personal_data_field == "email"
+    assert row.bio_enc.personal_data_field == "bio"
+    # independent IVs per field (fresh nonce per value, A8/A14)
+    assert bytes(row.email_enc.initialization_vector) != bytes(row.bio_enc.initialization_vector)
+
+    dec = decrypt_table(enc, spec, keys)
+    got = {r.user: (r.email, r.bio, r.age) for r in dec.collect()}
+    assert got["u1"] == ("u1@example.com", "likes spark", 30)
+
+    # shred u2: BOTH PII columns tombstone, u1 untouched
+    reg.forget("u2")
+    keys2 = broadcast_keys(spark, reg.key_map())
+    dec2 = {r.user: (r.email, r.bio, r.shredded) for r in decrypt_table(enc, spec, keys2).collect()}
+    assert dec2["u2"] == (None, None, True)
+    assert dec2["u1"] == ("u1@example.com", "likes spark", False)
