@@ -1,0 +1,109 @@
+"""PII-annotation dialect compilers (SURVEY.md §1.2).
+
+The reference expresses one protection semantics in three schema
+dialects; this module compiles each into a ``ProtectionSpec`` so
+tables whose upstream contracts are Avro or JSON Schema documents get
+identical treatment:
+
+| dialect | subject marker | PII marker | reference |
+|---|---|---|---|
+| Avro | field prop ``"pi2schema-subject-identifier": true`` | union ``[..., "pi2schema.EncryptedPersonalData"]`` or field prop ``"pi2schema-personal-data": true`` | ``schema-providers-avro/.../AvroSubjectIdentifierFieldDefinition.java:9``, ``AvroUnionPersonalDataFieldDefinition.java:99-101``, fixture ``valid-user-schema.avsc`` |
+| JSON Schema | property extension ``"pi2schema-subject-identifier": true`` | property extension ``"pi2schema-personal-data": true`` | ``JsonSubjectIdentifierFieldDefinition.java:14``, ``JsonPersonalDataFieldDefinition.java:34,49-51`` |
+| Spark (native) | StructField metadata, same keys | same | ``pi2spark.spec`` |
+
+Cardinality rules (exactly one subject identifier; JSON throws only on
+zero in the reference — we enforce exactly-one uniformly, the stricter
+contract) raise the same error taxonomy as ``ProtectionSpec.from_schema``.
+
+Protobuf descriptors require the protobuf runtime (not present here);
+``from_protobuf_descriptor`` accepts the descriptor's JSON form and is
+exercised with fixture dicts.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pi2spark.errors import (
+    SubjectIdentifierNotFoundError,
+    TooManySubjectIdentifiersError,
+)
+from pi2spark.spec import ProtectionSpec
+
+ENCRYPTED_PERSONAL_DATA = "pi2schema.EncryptedPersonalData"
+SUBJECT_KEY = "pi2schema-subject-identifier"
+PII_KEY = "pi2schema-personal-data"
+
+
+def _build(name: str, subjects: list[str], pii: list[str]) -> ProtectionSpec:
+    if len(subjects) > 1:
+        raise TooManySubjectIdentifiersError(name, len(subjects))
+    if pii and not subjects:
+        raise SubjectIdentifierNotFoundError(name)
+    return ProtectionSpec(
+        subject_column=subjects[0] if subjects else "",
+        pii_columns=tuple(pii),
+        table_name=name,
+    )
+
+
+def from_avro_schema(schema: dict | str) -> ProtectionSpec:
+    """Avro record schema → ProtectionSpec.
+
+    PII is recognized both by the reference's union-swap shape — a
+    union containing the ``pi2schema.EncryptedPersonalData`` branch
+    (``AvroUnionPersonalDataFieldDefinition.java:99-101``) — and by an
+    explicit field property (symmetric with the JSON dialect)."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    if schema.get("type") != "record":
+        raise ValueError("expected an Avro record schema")
+    subjects, pii = [], []
+    for f in schema.get("fields", []):
+        if f.get(SUBJECT_KEY):
+            subjects.append(f["name"])
+        ftype = f.get("type")
+        is_union_pii = isinstance(ftype, list) and any(
+            (isinstance(b, str) and b == ENCRYPTED_PERSONAL_DATA)
+            or (isinstance(b, dict) and b.get("name") == "EncryptedPersonalData")
+            for b in ftype
+        )
+        if is_union_pii or f.get(PII_KEY):
+            pii.append(f["name"])
+    return _build(schema.get("name", "record"), subjects, pii)
+
+
+def from_json_schema(schema: dict | str) -> ProtectionSpec:
+    """JSON Schema (draft-07-ish object schema) → ProtectionSpec.
+
+    Markers are property-level extension keywords, exactly the
+    reference's (``JsonPersonalDataFieldDefinition.java:34``). A
+    ``false`` marker is ignored (AC 'false-marker ignored' case,
+    ``JsonSchemaIntegrationTest``)."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    props = schema.get("properties", {})
+    subjects = [n for n, p in props.items() if isinstance(p, dict) and p.get(SUBJECT_KEY) is True]
+    pii = [n for n, p in props.items() if isinstance(p, dict) and p.get(PII_KEY) is True]
+    return _build(schema.get("title", "object"), subjects, pii)
+
+
+def from_protobuf_descriptor(descriptor: dict) -> ProtectionSpec:
+    """Protobuf message descriptor (JSON form) → ProtectionSpec.
+
+    Mirrors the oneof-swap detection (``OneOfPersonalDataFieldDefinition
+    .java:131-133``): a oneof containing exactly one
+    ``EncryptedPersonalData``-typed field marks the oneof's sibling
+    plaintext field as PII; the subject marker is the field option
+    ``(pi2schema.subject_identifier)`` (``subject.proto:5-10``)."""
+    subjects, pii = [], []
+    for f in descriptor.get("fields", []):
+        if f.get("options", {}).get("pi2schema.subject_identifier"):
+            subjects.append(f["name"])
+    for oneof in descriptor.get("oneofs", []):
+        branches = oneof.get("fields", [])
+        enc = [b for b in branches if b.get("type_name", "").endswith("EncryptedPersonalData")]
+        plain = [b for b in branches if b not in enc]
+        if len(enc) == 1 and plain:
+            pii.append(oneof.get("name") or plain[0]["name"])
+    return _build(descriptor.get("name", "message"), subjects, pii)

@@ -1,0 +1,105 @@
+"""Dialect compilers vs the reference's schema fixtures (SURVEY.md §5:
+valid-user-schema.avsc, invalid-user-schema-*.avsc,
+farmer_registered_event.proto, JsonSchemaIntegrationTest ACs)."""
+
+import pytest
+
+from pi2spark.dialects import from_avro_schema, from_json_schema, from_protobuf_descriptor
+from pi2spark.errors import (
+    SubjectIdentifierNotFoundError,
+    TooManySubjectIdentifiersError,
+)
+
+# shaped after schema-providers-avro/src/test/avro/valid-user-schema.avsc
+VALID_AVRO = {
+    "type": "record",
+    "name": "UserValid",
+    "fields": [
+        {"name": "uuid", "type": "string", "pi2schema-subject-identifier": True},
+        {"name": "email", "type": ["string", "pi2schema.EncryptedPersonalData"]},
+        {"name": "favorite_number", "type": "int"},
+    ],
+}
+
+
+def test_avro_valid_schema():
+    spec = from_avro_schema(VALID_AVRO)
+    assert spec.subject_column == "uuid"
+    assert spec.pii_columns == ("email",)
+
+
+def test_avro_union_with_inline_record_branch():
+    s = dict(VALID_AVRO)
+    s["fields"] = [
+        VALID_AVRO["fields"][0],
+        {
+            "name": "email",
+            "type": ["string", {"type": "record", "name": "EncryptedPersonalData", "fields": []}],
+        },
+    ]
+    assert from_avro_schema(s).pii_columns == ("email",)
+
+
+def test_avro_missing_subject_raises():
+    s = {"type": "record", "name": "U", "fields": [VALID_AVRO["fields"][1]]}
+    with pytest.raises(SubjectIdentifierNotFoundError):
+        from_avro_schema(s)
+
+
+def test_avro_two_subjects_raises():
+    s = {
+        "type": "record",
+        "name": "U",
+        "fields": [
+            {"name": "a", "type": "string", "pi2schema-subject-identifier": True},
+            {"name": "b", "type": "string", "pi2schema-subject-identifier": True},
+            VALID_AVRO["fields"][1],
+        ],
+    }
+    with pytest.raises(TooManySubjectIdentifiersError):
+        from_avro_schema(s)
+
+
+def test_json_schema_markers_and_false_ignored():
+    # 'false marker ignored' — JsonSchemaIntegrationTest AC
+    schema = {
+        "title": "farmer",
+        "type": "object",
+        "properties": {
+            "uuid": {"type": "string", "pi2schema-subject-identifier": True},
+            "phone": {"type": "string", "pi2schema-personal-data": True},
+            "name": {"type": "string", "pi2schema-personal-data": False},
+        },
+    }
+    spec = from_json_schema(schema)
+    assert spec.subject_column == "uuid"
+    assert spec.pii_columns == ("phone",)
+
+
+def test_json_schema_no_pii_no_subject_ok():
+    assert not from_json_schema({"title": "fruit", "properties": {"name": {"type": "string"}}}).requires_encryption
+
+
+def test_protobuf_descriptor_oneof():
+    # shaped after farmer_registered_event.proto:13-18
+    desc = {
+        "name": "FarmerRegisteredEvent",
+        "fields": [
+            {"name": "uuid", "type": "string",
+             "options": {"pi2schema.subject_identifier": True}},
+            {"name": "registered_at", "type": "google.protobuf.Timestamp"},
+        ],
+        "oneofs": [
+            {
+                "name": "contact_info",
+                "fields": [
+                    {"name": "phone_number", "type": "string"},
+                    {"name": "encryptedPersonalData",
+                     "type_name": "pi2schema.EncryptedPersonalData"},
+                ],
+            }
+        ],
+    }
+    spec = from_protobuf_descriptor(desc)
+    assert spec.subject_column == "uuid"
+    assert spec.pii_columns == ("contact_info",)

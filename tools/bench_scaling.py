@@ -95,8 +95,9 @@ def main() -> None:
         },
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as fh:
-        json.dump(summary, fh, indent=2)
+    for name in ("SCALING.json", f"SCALING_{N}v{4 * N}.json"):
+        with open(os.path.join(REPO, "BENCH", name), "w") as fh:
+            json.dump(summary, fh, indent=2)
     print(json.dumps(summary, indent=2))
 
 
