@@ -30,6 +30,19 @@ import time
 
 
 def main() -> None:
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    root_holder: list[str] = []
+    try:
+        _main(root_holder)
+    finally:
+        # a crashed bench must not leak a multi-GB working table
+        for r in root_holder:
+            _shutil.rmtree(r, ignore_errors=True)
+
+
+def _main(root_holder: list) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     sf = _sf_from_dir(sf_dir)
@@ -49,6 +62,7 @@ def main() -> None:
     spark = get_spark("pi2spark-bench", cores=cpus)
     timings: dict[str, float] = {}
     root = tempfile.mkdtemp(prefix="pi2spark-bench-")
+    root_holder.append(root)
 
     # ---- setup (NOT timed in the headline number) ----
     spec = ProtectionSpec.for_source_files()

@@ -1,0 +1,40 @@
+"""Regression: shred must rewrite EVERY affected file, including files
+larger than the bin-packing target (found by code audit: plan_bins'
+small_ratio filter silently dropped oversized affected files)."""
+
+from pyspark.sql import functions as F
+
+from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
+from pi2spark.maintenance import shred
+from pi2spark.registry import KeyRegistry
+from pi2spark.spec import ProtectionSpec
+from pi2spark.synth import synthesize_source_files
+from pi2spark.table import Table
+
+
+def test_shred_rewrites_oversized_affected_files(spark, tmp_table_root):
+    spec = ProtectionSpec.for_source_files()
+    plain = synthesize_source_files(spark, 800, seed=42, partitions=2, max_len=3000).cache()
+    reg = KeyRegistry()
+    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(tmp_table_root)
+    # two data files, each several hundred KB
+    t.append(encrypt_table(plain, spec, keys), spark)
+    file_sizes = [f.bytes for f in t.snapshot().files]
+    victim = "org0/megarepo"  # present in both files
+
+    reg.forget(victim)
+    # target far below the file sizes → every affected file is
+    # "oversized" relative to the packing target
+    tiny_target = max(min(file_sizes) // 8, 1024)
+    res = shred(t, spark, [victim], target_file_bytes=tiny_target)
+    assert res.rewritten_files == len(file_sizes), (
+        f"shred dropped oversized affected files: rewrote {res.rewritten_files} "
+        f"of {len(file_sizes)}"
+    )
+
+    scan = decrypt_table(t.scan(spark), spec, broadcast_keys(spark, reg.key_map()))
+    leaked = scan.filter((F.col("repo") == victim) & ~F.col("shredded")).count()
+    assert leaked == 0, f"{leaked} victim rows escaped the shred"
+    plain.unpersist()

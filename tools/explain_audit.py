@@ -1,0 +1,102 @@
+"""Plan-quality audit: .explain('formatted') for the contract queries,
+checking the properties that matter at 100 TB:
+
+- parquet scans carry PushedFilters / pruned ReadSchema (no full-width
+  scans for narrow projections),
+- aggregations have a partial (map-side) HashAggregate before the
+  exchange,
+- small-dimension joins broadcast (BroadcastHashJoin, not SortMerge),
+- no Python row-at-a-time BatchEvalPython anywhere (ArrowEvalPython /
+  MapInPandas only).
+
+Prints one line per query: OK or the list of violations, then the
+worst offender's formatted plan for inspection.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from pi2spark.session import get_spark
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+# queries whose plans we audit (skip the pipeline/crypto ones — they
+# are multi-job passes, not single plans)
+AUDIT = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "subject_extract",
+    "file_stats",
+    "snapshot_refcount",
+    "merge_anti_join",
+    "exact_dedup",
+    "token_counts",
+    "quality_scores",
+    "fingerprints",
+    "ngram_jaccard",
+    "ann_topk",
+    "events_hourly",
+    "top_events_window",
+    "minhash_dedup",
+    "simhash_dedup",
+]
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, plan: str) -> list[str]:
+    problems = []
+    if "BatchEvalPython" in plan:
+        problems.append("row-at-a-time Python UDF in plan")
+    # broadcast expectation for the known dimension join
+    if name == "revenue_by_nation" and "BroadcastHashJoin" not in plan:
+        problems.append("dimension join did not broadcast")
+    if name == "merge_anti_join" and "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan:
+        problems.append("anti join did not broadcast")
+    # partial aggregation before exchange
+    if name in ("pricing_summary", "file_stats", "snapshot_refcount", "exact_dedup", "events_hourly"):
+        aggs = re.findall(r"HashAggregate", plan)
+        if len(aggs) < 2:
+            problems.append("no map-side partial aggregate")
+    # column pruning: scans should not read all columns for narrow queries
+    if name in ("subject_extract", "snapshot_refcount"):
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        if m and len(m.group(1).split(",")) > 2:
+            problems.append(f"scan reads too many columns: {m.group(1)}")
+    if name == "ann_topk" and "TakeOrderedAndProject" not in plan:
+        problems.append("top-k executed as full sort, not TakeOrdered")
+    return problems
+
+
+def main() -> None:
+    spark = get_spark("explain-audit", cores=4)
+    qs = entrymod.queries()
+    bad = {}
+    for name in AUDIT:
+        df = qs[name](spark, SF_DIR)
+        plan = plan_text(df)
+        problems = audit(name, plan)
+        status = "OK " if not problems else "BAD"
+        print(f"{status} {name}: {'; '.join(problems) or 'plan clean'}")
+        if problems:
+            bad[name] = plan
+    for name, plan in bad.items():
+        print(f"\n===== {name} =====\n{plan[:4000]}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
