@@ -310,6 +310,11 @@ def shred(
         return out.drop("__forget").select(*df.columns)
 
     groups = plan_bins(affected, target_file_bytes, small_ratio=1.01, min_files=1)
+    # plan_bins packs only files below ~target size; every affected
+    # file MUST be rewritten regardless — oversized ones become
+    # singleton rewrite groups (regression: tests/test_shred_oversized.py)
+    packed = {f.path for g in groups for f in g}
+    groups += [[f] for f in affected if f.path not in packed]
 
     def run_group(i: int, group: list[DataFile]) -> dict:
         task_id = f"group-{i:05d}"
