@@ -306,7 +306,14 @@ def shred(
         for env in envelope_columns:
             if env in df.columns:
                 out = out.withColumn(env, F.when(hit, F.lit(None)).otherwise(F.col(env)))
-        out = out.withColumn("shredded", F.col("shredded") | hit)
+        # NULL-stored flags must not swallow a forget hit (NULL | true
+        # is NULL in SQL); tables without the lineage column still get
+        # their envelope bytes erased (mirrors decrypt_table's
+        # stored_flag handling).
+        if "shredded" in df.columns:
+            out = out.withColumn(
+                "shredded", F.coalesce(F.col("shredded"), F.lit(False)) | hit
+            )
         return out.drop("__forget").select(*df.columns)
 
     groups = plan_bins(affected, target_file_bytes, small_ratio=1.01, min_files=1)
@@ -425,12 +432,20 @@ def expire_snapshots(
     for s in expired:
         deletable |= manifest_paths(s) - referenced
 
+    # Metadata-first (Iceberg's expire ordering): commit the trimmed
+    # snapshot list BEFORE touching any data file. A crash after this
+    # commit leaves unreferenced files on disk — re-running expiry (or
+    # any orphan sweep) cleans them up; the reverse order could delete
+    # files still referenced by the *committed* metadata, breaking time
+    # travel to snapshots the table still lists.
+    meta["snapshots"] = retained
+    table._write_version(version + 1, meta)
+
+    # Best-effort physical cleanup; idempotent and re-runnable.
     for rel in sorted(deletable):
         p = os.path.join(table.root, rel)
         if os.path.exists(p):
             os.remove(p)
-    meta["snapshots"] = retained
-    table._write_version(version + 1, meta)
     for s in expired:
         mp = os.path.join(table._meta_dir, s["manifest"])
         if os.path.exists(mp):

@@ -22,6 +22,14 @@ A15-A21, §3.3):
   subject's materials, making all of its ciphertext permanently
   unrecoverable (crypto-shredding), and the maintenance layer follows
   up with a MERGE-shred pass (see ``pi2spark.maintenance``).
+  Because the log is the durable source of truth, FORGET also
+  **physically redacts** the subject's key material from the on-disk
+  log: the whole log is rewritten (tmp + fsync + atomic replace +
+  directory fsync) with the forgotten subject's ``key_b64`` dropped —
+  an append-only tombstone alone would leave the AES key recoverable
+  from disk, voiding the shredding guarantee. Redacted REGISTER
+  records are kept (audit trail) but carry no key and replay to no
+  material.
 - Latest-key selection mirrors ``MostRecentMaterialsProvider.java:39-46``
   (last registered material wins).
 - Missing key on decrypt → ``MissingCryptoMaterialsError`` in strict
@@ -89,8 +97,10 @@ class KeyRegistry:
         if cmd["command"] == REGISTER:
             existing = self._materials.setdefault(subject, [])
             # Idempotent-if-present: reference appends only when empty
-            # (KafkaSecretKeyStore.java:236-246).
-            if not existing:
+            # (KafkaSecretKeyStore.java:236-246). A redacted REGISTER
+            # (key physically removed by a later FORGET rewrite)
+            # replays to no material.
+            if not existing and cmd.get("key_b64") is not None:
                 existing.append(
                     Material(
                         material_id=cmd["material_id"],
@@ -137,8 +147,14 @@ class KeyRegistry:
             self.register(s)
 
     def forget(self, subject_id: str) -> None:
-        """Delete a subject's materials (crypto-shred). Appends a FORGET
-        command; the key becomes unrecoverable on every replay too."""
+        """Delete a subject's materials (crypto-shred).
+
+        Appends a FORGET command *and* physically redacts the subject's
+        key bytes from every earlier REGISTER record, rewriting the log
+        atomically (tmp + fsync + replace + dir fsync). After this
+        returns, no replay of the on-disk log — and no read of the raw
+        file — can recover the key; that is the property maintenance
+        ``shred`` and the 'permanently unrecoverable' contract rely on."""
         cmd = {
             "ts_ord": len(self._commands),
             "subject_id": subject_id,
@@ -147,7 +163,30 @@ class KeyRegistry:
             "key_b64": None,
             "algorithm": None,
         }
-        self._apply(cmd)
+        self._apply(cmd, record=False)
+        self._commands.append(cmd)
+        for c in self._commands:
+            if c["subject_id"] == subject_id and c["command"] == REGISTER and c.get("key_b64"):
+                c["key_b64"] = None
+                c["redacted"] = True
+        if self._path:
+            self._rewrite_log()
+
+    def _rewrite_log(self) -> None:
+        """Atomic full-log rewrite: the only mutation of an otherwise
+        append-only file, used exclusively to destroy key material."""
+        tmp = f"{self._path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for c in self._commands:
+                fh.write(json.dumps(c) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._path)
+        dfd = os.open(os.path.dirname(os.path.abspath(self._path)), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def latest_key(self, subject_id: str) -> bytes | None:
         """Most-recent material (MostRecentMaterialsProvider.java:39-46);

@@ -376,8 +376,14 @@ class Table:
         files = [f for f in parent_files if f.path not in removed] + list(added)
 
         sid = (parent_id or 0) + 1
-        manifest_name = f"snap-{sid}.json"
-        mtmp = os.path.join(self._meta_dir, manifest_name + ".tmp")
+        # Writer-unique manifest name: two optimistic writers racing from
+        # the same parent both compute sid = parent+1; with a fixed name
+        # the loser's pre-commit manifest write would clobber the
+        # winner's already-committed manifest. The uuid suffix makes the
+        # manifest private to this writer until the version swap links
+        # it into metadata; a losing writer leaves only an orphan file.
+        manifest_name = f"snap-{sid}-{uuid.uuid4().hex[:8]}.json"
+        mtmp = os.path.join(self._meta_dir, manifest_name + f".tmp-{uuid.uuid4().hex[:8]}")
         with open(mtmp, "w", encoding="utf-8") as fh:
             json.dump({"files": [f.to_json() for f in files]}, fh)
         os.rename(mtmp, os.path.join(self._meta_dir, manifest_name))
@@ -403,7 +409,15 @@ class Table:
             }
         )
         meta["current_snapshot_id"] = sid
-        self._write_version(version + 1, meta)
+        try:
+            self._write_version(version + 1, meta)
+        except ConcurrentCommitError:
+            # lost the race: our manifest was never linked — remove the orphan
+            try:
+                os.remove(os.path.join(self._meta_dir, manifest_name))
+            except OSError:
+                pass
+            raise
         return self.snapshot(sid)
 
     # -- write path --

@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from pi2spark.errors import UnconfiguredError
+
 DEFAULT_BITS = 16
 
 
@@ -107,10 +109,26 @@ def make_bucket_udf(boundaries, column: str, bits: int = DEFAULT_BITS):
 # ---------------------------------------------------------------------------
 
 
+def _check_key_width(bits: int, k: int) -> None:
+    """The interleaved key must fit a signed 64-bit long: numpy shifts
+    of >=64 silently wrap and the JVM masks shift counts mod 64, so an
+    oversized configuration would produce corrupted cluster keys with
+    no error. Fail loudly instead."""
+    if bits < 1:
+        raise UnconfiguredError(f"cluster key bits must be >= 1, got {bits}")
+    if bits * k > 63:
+        raise UnconfiguredError(
+            f"cluster key would need {bits * k} bits ({k} columns x {bits} "
+            "bits) but must fit in 63 (signed long); lower --bits or drop "
+            "cluster columns"
+        )
+
+
 def morton_interleave(bucket_cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
     """Bit-interleave k bucket ints into one long: bit i of column j
     lands at position i*k + j. 3 cols × 16 bits → 48-bit key."""
     k = len(bucket_cols)
+    _check_key_width(bits, k)
     acc = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(bucket_cols):
@@ -240,6 +258,7 @@ def with_cluster_key(
     expression form) remains available for integer columns that never
     need bucketing."""
     cols = list(columns)
+    _check_key_width(bits, len(cols))
     if boundaries is None:
         boundaries = column_boundaries(
             df, cols, bits=bits, sample_rows=sample_rows, total_rows=total_rows
