@@ -44,7 +44,13 @@ from pi2spark.errors import (
     MissingCryptoMaterialsError,
     SubjectIdentifierRetrievalError,
 )
-from pi2spark.spec import ENVELOPE_SCHEMA, TRANSFORMATION, ProtectionSpec
+from pi2spark.spec import (
+    ENVELOPE_FOR_KEY,
+    ENVELOPE_SCHEMA,
+    TRANSFORMATION,
+    ProtectionSpec,
+    find_envelope_field,
+)
 
 GCM_NONCE_BYTES = 12
 NOOP_TRANSFORMATION = "NOOP/EMPTY"  # empty-string passthrough marker
@@ -52,12 +58,17 @@ KMS_ID = "pi2spark-kms"
 
 # Scan-output schema of one decrypted PII column: plaintext + shredded
 # flag (FIXTURES.md §4 case 4 — tombstone keeps the schema stable).
-_DECRYPT_RESULT = T.StructType(
-    [
-        T.StructField("content", T.StringType(), True),
-        T.StructField("shredded", T.BooleanType(), False),
-    ]
-)
+# The content type follows the original column type: string columns
+# decode UTF-8, binary columns (serialized sub-messages — the
+# reference's primary path, OneOfPersonalDataFieldDefinition.java:53-62)
+# come back as raw bytes.
+def _decrypt_result(binary: bool) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("content", T.BinaryType() if binary else T.StringType(), True),
+            T.StructField("shredded", T.BooleanType(), False),
+        ]
+    )
 
 
 def _resolve_keys(keys) -> Mapping[str, bytes]:
@@ -107,14 +118,18 @@ def make_encrypt_udf(keys, pii_column: str):
             out_kms[idxs] = KMS_ID
             out_field[idxs] = pii_column
             for j, (i, v) in enumerate(zip(idxs, vals)):
-                if v == "":
+                if len(v) == 0:
                     # empty no-op: passes through unencrypted
+                    # (works for both "" and b"")
                     out_data[i] = b""
                     out_transf[i] = NOOP_TRANSFORMATION
                     out_iv[i] = b""
                 else:
                     nonce = nonce_pool[j * GCM_NONCE_BYTES : (j + 1) * GCM_NONCE_BYTES]
-                    out_data[i] = aead.encrypt(nonce, v.encode("utf-8"), None)
+                    # binary PII (serialized sub-message bytes) is
+                    # encrypted as-is; strings encode to UTF-8
+                    payload = v if isinstance(v, (bytes, bytearray)) else v.encode("utf-8")
+                    out_data[i] = aead.encrypt(nonce, bytes(payload), None)
                     out_transf[i] = TRANSFORMATION
                     out_iv[i] = nonce
         return pd.DataFrame(
@@ -131,10 +146,11 @@ def make_encrypt_udf(keys, pii_column: str):
     return pandas_udf(ENVELOPE_SCHEMA)(_encrypt)
 
 
-def make_decrypt_udf(keys, strict: bool = False):
+def make_decrypt_udf(keys, strict: bool = False, binary: bool = False):
     """Vectorized decrypt-swap (A9): envelope struct batches →
     (plaintext, shredded) struct batches. Missing key → tombstone
-    (or raise when strict)."""
+    (or raise when strict). ``binary=True`` returns raw bytes (binary
+    PII columns) instead of UTF-8 decoding."""
 
     def _decrypt(env: pd.DataFrame) -> pd.DataFrame:
         from cryptography.exceptions import InvalidTag
@@ -155,7 +171,7 @@ def make_decrypt_udf(keys, strict: bool = False):
             ivs = grp["initialization_vector"].to_numpy()
             for i, transf, data, iv in zip(idxs, transfs, datas, ivs):
                 if transf == NOOP_TRANSFORMATION:
-                    content[i] = ""
+                    content[i] = b"" if binary else ""
                     continue
                 if aead is None:
                     # crypto-shredded subject: tombstone
@@ -164,7 +180,8 @@ def make_decrypt_udf(keys, strict: bool = False):
                     shredded[i] = True
                     continue
                 try:
-                    content[i] = aead.decrypt(bytes(iv), bytes(data), None).decode("utf-8")
+                    plain = aead.decrypt(bytes(iv), bytes(data), None)
+                    content[i] = plain if binary else plain.decode("utf-8")
                 except InvalidTag as e:
                     raise InvalidEncryptedMessageError(
                         f"authentication failed for subject {subj}"
@@ -175,7 +192,7 @@ def make_decrypt_udf(keys, strict: bool = False):
                     ) from e
         return pd.DataFrame({"content": content, "shredded": shredded})
 
-    return pandas_udf(_DECRYPT_RESULT)(_decrypt)
+    return pandas_udf(_decrypt_result(binary))(_decrypt)
 
 
 def encrypt_table(df: DataFrame, spec: ProtectionSpec, keys) -> DataFrame:
@@ -193,7 +210,13 @@ def encrypt_table(df: DataFrame, spec: ProtectionSpec, keys) -> DataFrame:
         if name in spec.pii_columns:
             enc = make_encrypt_udf(keys, name)
             cols.append(
-                enc(F.col(spec.subject_column), F.col(name)).alias(spec.envelope_column(name))
+                enc(F.col(spec.subject_column), F.col(name)).alias(
+                    spec.envelope_column(name),
+                    # envelope-slot marker: lets decrypt locate and
+                    # validate the slot even off naming convention
+                    # (spec.find_envelope_field); survives parquet
+                    metadata={ENVELOPE_FOR_KEY: name},
+                )
             )
         else:
             cols.append(F.col(name))
@@ -213,31 +236,35 @@ def decrypt_table(df: DataFrame, spec: ProtectionSpec, keys, strict: bool = Fals
         F.coalesce(F.col("shredded"), F.lit(False)) if "shredded" in df.columns else F.lit(False)
     )
     shredded_acc = stored_flag
+    # Validate every envelope slot up front (exactly one per PII column,
+    # struct-typed) — the reference's read-side format check
+    # (OneOfPersonalDataFieldDefinition.java:98-106,135-158). Raises
+    # EncryptionTargetFieldNotFoundError / TooManyEncryptionTargetFieldsError /
+    # UnsupportedEncryptedFieldFormatError before any job runs.
+    env_cols = {
+        name: find_envelope_field(df.schema, name, spec.envelope_suffix, spec.table_name)
+        for name in spec.pii_columns
+    }
     original_order = [
-        spec.envelope_column(c) if c in spec.pii_columns else c
-        for c in df.columns
-        if c != "shredded"
+        env_cols[c] if c in spec.pii_columns else c for c in df.columns if c != "shredded"
     ]
     for name in spec.pii_columns:
-        env_col = spec.envelope_column(name)
-        dec = make_decrypt_udf(keys, strict=strict)
+        env_col = env_cols[name]
+        binary = name in spec.binary_columns
+        dec = make_decrypt_udf(keys, strict=strict, binary=binary)
         res = f"__dec_{name}"
         out = out.withColumn(res, dec(F.col(env_col)))
         out = out.withColumn(
             name,
-            F.when(stored_flag, F.lit(None).cast("string")).otherwise(F.col(f"{res}.content")),
+            F.when(
+                stored_flag, F.lit(None).cast("binary" if binary else "string")
+            ).otherwise(F.col(f"{res}.content")),
         )
         shredded_acc = shredded_acc | F.coalesce(F.col(f"{res}.shredded"), F.lit(False))
         out = out.withColumn("__shred_acc", shredded_acc)
         shredded_acc = F.col("__shred_acc")
         out = out.drop(env_col, res)
-    final_order = [
-        name if name in (spec.envelope_column(c) for c in spec.pii_columns) else name
-        for name in original_order
-    ]
     # map envelope column names back to plaintext names, preserving order
-    restored = []
-    env_to_plain = {spec.envelope_column(c): c for c in spec.pii_columns}
-    for name in final_order:
-        restored.append(env_to_plain.get(name, name))
+    env_to_plain = {env_cols[c]: c for c in spec.pii_columns}
+    restored = [env_to_plain.get(name, name) for name in original_order]
     return out.select(*restored, F.col("__shred_acc").alias("shredded"))

@@ -73,7 +73,9 @@ class SubjectIdentifierRetrievalError(Pi2SparkError):
 
 
 class EncryptionTargetFieldNotFoundError(Pi2SparkError):
-    """No envelope slot available for a PII column."""
+    """No envelope slot available for a PII column
+    (EncryptionTargetFieldNotFoundException analogue,
+    OneOfPersonalDataFieldDefinition.java:143-148)."""
 
 
 class TooManyEncryptionTargetFieldsError(Pi2SparkError):

@@ -30,13 +30,20 @@ from typing import Iterable
 from pyspark.sql import types as T
 
 from pi2spark.errors import (
+    EncryptionTargetFieldNotFoundError,
     SubjectIdentifierNotFoundError,
+    TooManyEncryptionTargetFieldsError,
     TooManySubjectIdentifiersError,
+    UnsupportedEncryptedFieldFormatError,
     UnsupportedPersonalDataFieldFormatError,
 )
 
 PERSONAL_DATA_KEY = "pi2schema-personal-data"
 SUBJECT_IDENTIFIER_KEY = "pi2schema-subject-identifier"
+# Marks an envelope column with the plaintext column it encrypts —
+# the analogue of the reference's EncryptedPersonalData-typed oneOf
+# slot (OneOfPersonalDataFieldDefinition.java:139-158).
+ENVELOPE_FOR_KEY = "pi2schema-envelope-for"
 
 # Only string/binary payloads are encryptable — the reference encrypts
 # serialized sub-messages or strings (SURVEY.md §1.3,
@@ -54,6 +61,11 @@ class ProtectionSpec:
     table_name: str = "table"
     # Envelope column name per PII column: `<col>_enc` by convention.
     envelope_suffix: str = "_enc"
+    # PII columns whose payload is bytes (the reference's primary path:
+    # serialized sub-messages, OneOfPersonalDataFieldDefinition.java:53-62,
+    # envelope `data: bytes`, encrypted_personal_data.proto:13). Decrypt
+    # restores these as BinaryType instead of StringType.
+    binary_columns: tuple[str, ...] = ()
 
     @property
     def requires_encryption(self) -> bool:
@@ -74,6 +86,7 @@ class ProtectionSpec:
         """
         subjects: list[str] = []
         pii: list[str] = []
+        binary: list[str] = []
         for f in schema.fields:
             md = f.metadata or {}
             if md.get(SUBJECT_IDENTIFIER_KEY):
@@ -84,13 +97,20 @@ class ProtectionSpec:
                         f.name, f.dataType.simpleString()
                     )
                 pii.append(f.name)
+                if isinstance(f.dataType, T.BinaryType):
+                    binary.append(f.name)
 
         if len(subjects) > 1:
             raise TooManySubjectIdentifiersError(table_name, len(subjects))
         if pii and not subjects:
             raise SubjectIdentifierNotFoundError(table_name)
         subject = subjects[0] if subjects else ""
-        return cls(subject_column=subject, pii_columns=tuple(pii), table_name=table_name)
+        return cls(
+            subject_column=subject,
+            pii_columns=tuple(pii),
+            table_name=table_name,
+            binary_columns=tuple(binary),
+        )
 
     @classmethod
     def for_source_files(cls) -> "ProtectionSpec":
@@ -118,6 +138,53 @@ def annotate_schema(
             md[PERSONAL_DATA_KEY] = True
         fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
     return T.StructType(fields)
+
+
+def _is_envelope_struct(dt: T.DataType) -> bool:
+    """True when the type is the EncryptedPersonalData envelope struct
+    (all envelope field names present)."""
+    if not isinstance(dt, T.StructType):
+        return False
+    names = {f.name for f in dt.fields}
+    return {f.name for f in ENVELOPE_SCHEMA.fields} <= names
+
+
+def find_envelope_field(
+    schema: T.StructType,
+    pii_column: str,
+    envelope_suffix: str = "_enc",
+    container: str = "table",
+) -> str:
+    """Locate the exactly-one envelope slot for a PII column — the
+    cardinality + format rule of the reference's
+    ``determineEncryptionField`` / ``swapToDecrypted``
+    (OneOfPersonalDataFieldDefinition.java:98-106,135-158):
+
+    - zero candidate slots → ``EncryptionTargetFieldNotFoundError``
+    - more than one → ``TooManyEncryptionTargetFieldsError``
+    - a slot that is not the envelope struct →
+      ``UnsupportedEncryptedFieldFormatError``
+
+    A candidate is a column named ``<pii>_enc`` (naming convention) or
+    carrying the ``pi2schema-envelope-for: <pii>`` metadata marker
+    (written by ``encrypt_table``; survives parquet round-trips)."""
+    conventional = f"{pii_column}{envelope_suffix}"
+    cands = []
+    for f in schema.fields:
+        md = f.metadata or {}
+        if f.name == conventional or md.get(ENVELOPE_FOR_KEY) == pii_column:
+            cands.append(f)
+    if not cands:
+        raise EncryptionTargetFieldNotFoundError(
+            f"No EncryptedPersonalData envelope field found for {pii_column} "
+            f"in {container} while exactly one is required"
+        )
+    if len(cands) > 1:
+        raise TooManyEncryptionTargetFieldsError(container, len(cands))
+    f = cands[0]
+    if not _is_envelope_struct(f.dataType):
+        raise UnsupportedEncryptedFieldFormatError(f.name, f.dataType.simpleString())
+    return f.name
 
 
 # On-disk envelope struct — port of the reference wire envelope
