@@ -226,20 +226,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_zorder_morton(spark, sf_dir):
-        # B4 correctness surface: dense-rank bucketing + bit interleave
-        # (the production path uses sample-based boundaries; this exact
-        # variant is what an external engine can mirror)
+        # B4 correctness surface: rank bucketing + bit interleave (the
+        # production path uses sample-based boundaries; this exact
+        # variant is what an external engine can mirror).
+        # Ranks come from a tiny distinct-values relation joined back
+        # (rank = count of strictly-smaller distinct values ==
+        # dense_rank - 1) — a broadcast join over ~10 rows instead of a
+        # global window that would single-partition the whole table.
         docs = _load(spark, sf_dir, "documents")
         docs.createOrReplaceTempView("documents_z")
         expr = _morton_sql("r1", "r2", "r3", 8, _SPARK_SHIFT)
         return spark.sql(
             f"""
+            WITH s AS (SELECT DISTINCT source FROM documents_z),
+                 sr AS (SELECT a.source AS source, CAST(count(b.source) AS BIGINT) AS r1
+                        FROM s a LEFT JOIN s b ON b.source < a.source GROUP BY a.source),
+                 l AS (SELECT DISTINCT lang FROM documents_z),
+                 lr AS (SELECT a.lang AS lang, CAST(count(b.lang) AS BIGINT) AS r2
+                        FROM l a LEFT JOIN l b ON b.lang < a.lang GROUP BY a.lang)
             SELECT doc_id, CAST({expr} AS BIGINT) AS zkey FROM (
-              SELECT doc_id,
-                CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS r1,
-                CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT) AS r2,
-                CAST(doc_id % 256 AS BIGINT) AS r3
-              FROM documents_z)
+              SELECT d.doc_id, sr.r1, lr.r2, CAST(d.doc_id % 256 AS BIGINT) AS r3
+              FROM documents_z d
+              JOIN sr ON d.source = sr.source
+              JOIN lr ON d.lang = lr.lang)
             """
         )
 
@@ -447,12 +456,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM (VALUES ('src1'), ('src7')) f(source) WHERE f.source = d.source)
         """,
         "zorder_morton": f"""
+            WITH s AS (SELECT DISTINCT source FROM documents),
+                 sr AS (SELECT a.source AS source, CAST(count(b.source) AS BIGINT) AS r1
+                        FROM s a LEFT JOIN s b ON b.source < a.source GROUP BY a.source),
+                 l AS (SELECT DISTINCT lang FROM documents),
+                 lr AS (SELECT a.lang AS lang, CAST(count(b.lang) AS BIGINT) AS r2
+                        FROM l a LEFT JOIN l b ON b.lang < a.lang GROUP BY a.lang)
             SELECT doc_id, CAST({morton} AS BIGINT) AS zkey FROM (
-              SELECT doc_id,
-                CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS r1,
-                CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT) AS r2,
-                CAST(doc_id % 256 AS BIGINT) AS r3
-              FROM documents) s
+              SELECT d.doc_id, sr.r1, lr.r2, CAST(d.doc_id % 256 AS BIGINT) AS r3
+              FROM documents d
+              JOIN sr ON d.source = sr.source
+              JOIN lr ON d.lang = lr.lang) t
         """,
         "exact_dedup": r"""
             SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,

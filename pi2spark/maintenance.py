@@ -212,19 +212,19 @@ def cluster(
         )
         bc = spark.sparkContext.broadcast(boundaries)
         keyed = with_cluster_key(df, columns, bits=bits, curve=curve, boundaries=boundaries, broadcast=bc)
-        # persist the keyed frame: repartitionByRange runs a sampling
-        # job over its input before the shuffle — without the persist,
-        # the scan + key UDF execute twice end-to-end
-        from pyspark import StorageLevel
-
-        # DISK_ONLY: the keyed frame is the whole table — caching it
-        # deserialized on-heap makes high-core runs GC-thrash; local
-        # disk (page-cache-backed) rereads are cheap and heap-neutral
-        keyed = keyed.persist(StorageLevel.DISK_ONLY)
+        # NO persist of the keyed frame. repartitionByRange runs an
+        # internal sampling job over its input, so the zkey UDF
+        # executes twice — but the sampling job only evaluates the
+        # partition-key expressions, so Catalyst prunes its scan to the
+        # narrow cluster-key columns (never the fat payload column).
+        # Persisting the whole keyed table (round 1 did, DISK_ONLY)
+        # serialized the entire table through one shared disk three
+        # times and capped the pass's core-scaling at the disk, not the
+        # CPU: recomputing a cheap Arrow UDF over pruned columns scales
+        # with cores; a single disk does not.
         tiebreak = "commit" if "commit" in df.columns else columns[-1]
         clustered = keyed.repartitionByRange(n_files, F.col("zkey"), F.col(tiebreak)).sortWithinPartitions("zkey")
         added = table.write_files(clustered, spark, tag=f"{curve}-{pass_id}")
-        keyed.unpersist()
         ledger.record_task(
             task_id,
             {
