@@ -161,6 +161,76 @@ def ngram_jaccard_pairs(
     )
 
 
+# -- shared LSH candidate generation ----------------------------------------
+
+DEFAULT_BUCKET_CAP = 512
+
+
+def bucketed_pairs(
+    entries: DataFrame,
+    bucket_cols,
+    id_col: str,
+    payload_cols=(),
+    cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Candidate pairs from bucket co-membership, with bounded per-bucket
+    fan-out — the shared skeleton of MinHash-LSH, SimHash and embedding
+    near-dup (100 TB shuffle discipline):
+
+    - The shuffle carries only ``(bucket key, id, payload_cols)`` rows —
+      callers keep fat columns (full signatures, text) OUT of
+      ``entries`` and rejoin them by id afterwards.
+    - Buckets of size ≤ ``cap``: all :math:`\\binom{n}{2}` pairs,
+      expanded JVM-side from one sorted ``collect_list`` (bounded by
+      ``cap`` elements, so the array is small by construction).
+    - Buckets larger than ``cap`` (degenerate: boilerplate-identical or
+      empty documents): **consecutive pairs in id order** via
+      ``lead()`` — O(n) candidates instead of O(n²), O(1) memory per
+      row. Any same-bucket clique stays one connected component
+      (consecutive edges chain it), so downstream keep-min /
+      connected-components dedup is unaffected; only the pair *list*
+      is thinned.
+
+    Returns distinct ``(a, b)`` id pairs (a < b) plus, for each side,
+    the payload struct columns ``l`` / ``r`` carrying ``payload_cols``.
+    One shuffle on the bucket key (narrow rows), one aggregation.
+    """
+    item = F.struct(F.col(id_col).alias("i"), *[F.col(c) for c in payload_cols])
+    e = entries.select(*[F.col(c) for c in bucket_cols], item.alias("__it"))
+    wb = Window.partitionBy(*bucket_cols)
+    wo = wb.orderBy(F.col("__it.i"))
+    e = e.withColumn("__cnt", F.count(F.lit(1)).over(wb))
+
+    small = (
+        e.filter((F.col("__cnt") >= 2) & (F.col("__cnt") <= cap))
+        .groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list("__it")).alias("__items"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("__items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__items"), i + F.lit(2), F.size(F.col("__items"))),
+                lambda y: F.struct(x.alias("l"), y.alias("r")),
+            ),
+        )
+    )
+    small_pairs = small.select(F.explode(pair_expr).alias("p")).select("p.l", "p.r")
+
+    big_pairs = (
+        e.filter(F.col("__cnt") > cap)
+        .withColumn("__nx", F.lead("__it").over(wo))
+        .filter(F.col("__nx").isNotNull())
+        .select(F.col("__it").alias("l"), F.col("__nx").alias("r"))
+    )
+    return (
+        small_pairs.union(big_pairs)
+        .withColumn("a", F.col("l.i"))
+        .withColumn("b", F.col("r.i"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -233,23 +303,33 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     seed: int = 42,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH:
 
     shingle → minhash signature → split into ``bands`` bands → band
-    bucket key = hash(band slice) → self-join within (band, bucket) →
-    dedupe candidate pairs → estimate Jaccard from full signatures →
-    filter by threshold.
+    bucket key = hash(band slice) → candidate pairs within
+    (band, bucket) → estimate Jaccard from full signatures → filter.
 
-    Shuffle profile: one explode to (doc, band, bucket) rows, one
-    shuffle on the bucket key (fixed-width longs, map-side combined),
-    one aggregation for pair dedup. Candidate volume is controlled by
-    bands/rows-per-band, not O(n²)."""
-    rows_per_band = num_hashes // bands
+    Shuffle profile (the 100 TB shape): the band explode and bucket
+    shuffle carry ONLY ``(id, band, bucket)`` — the 64-long signature
+    is NOT replicated into the 16 band rows (that would multiply
+    shuffle volume by the band count); full signatures are rejoined by
+    id only for the surviving candidate pairs. Degenerate buckets are
+    capped (``bucket_cap``) via consecutive-pair chaining — see
+    ``bucketed_pairs``. ``persist_sigs`` keeps the narrow
+    (id, signature) frame (≈0.5 KB/row) in executor storage so the
+    shingling UDF runs once instead of three times; at warehouse scale
+    the same role is played by materializing signatures to a table."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    band_entries = sigs.select(
+    if persist_sigs:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    rows_per_band = num_hashes // bands
+    entries = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -261,33 +341,20 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
 
-    left = band_entries.alias("l")
-    right = band_entries.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    pairs = bucketed_pairs(entries, ["band", "bucket"], id_col, cap=bucket_cap)
+    sig_a = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    cand = pairs.select("a", "b").join(sig_a, "a").join(sig_b, "b")
     est = F.round(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
         / F.lit(float(num_hashes)),
         4,
     )
-    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    return cand.select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), est.alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -325,10 +392,15 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 42,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on 4 × 16-bit chunks (any pair
     within hamming ≤ 3 of 64 bits shares at least one exact chunk —
-    pigeonhole), then verify hamming distance exactly."""
+    pigeonhole), then verify hamming distance exactly.
+
+    The SimHash value is a single long, so it travels through the
+    4-way chunk explode as payload (8 bytes × 4 — cheap, no rejoin
+    needed); degenerate buckets are capped via ``bucketed_pairs``."""
     sim = make_simhash_udf(seed)
     sigs = df.select(F.col(id_col), sim(F.col(text_col)).alias("sh"))
     chunks = sigs.select(
@@ -344,23 +416,8 @@ def simhash_near_dups(
             ])
         ).alias("cb"),
     ).select(id_col, "sh", "cb.chunk", "cb.ck")
-    l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.ck") == F.col("r.ck"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    pairs = bucketed_pairs(chunks, ["chunk", "ck"], id_col, payload_cols=("sh",), cap=bucket_cap)
+    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return pairs.select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

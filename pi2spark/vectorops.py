@@ -60,15 +60,20 @@ def brute_force_topk(
     )
 
 
-def make_lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
+def make_lsh_bucket_udf(dim: int | None = None, n_planes: int = 16, seed: int = 42):
     """embedding → LSH bucket id (sign pattern over seeded random
     hyperplanes). The plane matrix is generated deterministically on
-    each executor from the seed — nothing to broadcast."""
+    each executor from the seed — nothing to broadcast. ``dim=None``
+    infers the dimension from the first vector of each Arrow batch
+    (the matrix is identical either way since it derives from the
+    seed), avoiding a driver-side ``first()`` job just to read it."""
 
     def _bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int64)
+        d = dim if dim is not None else len(vecs.iloc[0])
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes))
-        out = np.zeros(len(vecs), dtype=np.int64)
+        planes = rng.standard_normal((d, n_planes))
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         signs = (mat @ planes) > 0
         weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -118,24 +123,31 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     n_planes: int = 12,
     seed: int = 42,
+    bucket_cap: int = 512,
 ) -> DataFrame:
-    """Embedding-cosine near-dup candidate pairs: bucket join on the
-    LSH signature, exact cosine verify, threshold filter."""
-    bucket = make_lsh_bucket_udf(
-        dim=len(df.select(vec_col).first()[0]), n_planes=n_planes, seed=seed
+    """Embedding-cosine near-dup candidate pairs: LSH bucket
+    co-membership → bounded candidate pairs → exact cosine verify →
+    threshold filter.
+
+    Uses ``textops.bucketed_pairs`` for the candidate stage: one
+    shuffle on the bucket id with the vector as payload (each vector
+    appears in exactly ONE bucket — no explode, no duplication) and a
+    per-bucket cap so a degenerate bucket (e.g. all-zero embeddings)
+    chains linearly instead of joining quadratically."""
+    from pi2spark.textops import bucketed_pairs
+
+    bucket = make_lsh_bucket_udf(dim=None, n_planes=n_planes, seed=seed)
+    entries = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__bucket", bucket(F.col(vec_col))
     )
-    b = df.select(F.col(id_col), F.col(vec_col)).withColumn("__bucket", bucket(F.col(vec_col)))
-    l, r = b.alias("l"), b.alias("r")
-    cand = l.join(
-        r,
-        (F.col("l.__bucket") == F.col("r.__bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    pairs = bucketed_pairs(
+        entries, ["__bucket"], id_col, payload_cols=(vec_col,), cap=bucket_cap
     )
     va = F.transform(F.col(f"l.{vec_col}"), lambda x: x.cast("double"))
     vb = F.transform(F.col(f"r.{vec_col}"), lambda x: x.cast("double"))
     cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
-    return cand.select(
-        F.col(f"l.{id_col}").alias("doc_a"),
-        F.col(f"r.{id_col}").alias("doc_b"),
+    return pairs.select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
         F.round(cos, 4).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,100 @@
+"""Bucket-capped LSH candidate generation (the 100 TB shuffle shape):
+degenerate buckets (many identical documents) must produce a bounded,
+connectivity-preserving candidate list instead of an O(n²) self-join."""
+
+from pyspark.sql import functions as F
+
+from pi2spark.textops import bucketed_pairs, minhash_lsh_pairs, simhash_near_dups
+from pi2spark.vectorops import embedding_near_dup_pairs
+
+
+def test_bucketed_pairs_small_bucket_all_pairs(spark):
+    entries = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "y")], "id long, bkt string"
+    )
+    got = {
+        (r.a, r.b)
+        for r in bucketed_pairs(entries, ["bkt"], "id", cap=10).select("a", "b").collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_bucketed_pairs_big_bucket_chains_consecutively(spark):
+    n = 40
+    entries = spark.createDataFrame([(i, "mega") for i in range(n)], "id long, bkt string")
+    got = sorted(
+        (r.a, r.b)
+        for r in bucketed_pairs(entries, ["bkt"], "id", cap=10).select("a", "b").collect()
+    )
+    # linear chain, not quadratic: exactly n-1 consecutive pairs
+    assert got == [(i, i + 1) for i in range(n - 1)]
+
+
+def test_bucketed_pairs_payload_carried(spark):
+    entries = spark.createDataFrame(
+        [(1, "x", 100), (2, "x", 200)], "id long, bkt string, sh long"
+    )
+    rows = bucketed_pairs(entries, ["bkt"], "id", payload_cols=("sh",), cap=10).collect()
+    assert len(rows) == 1
+    assert rows[0].l.sh == 100 and rows[0].r.sh == 200
+
+
+def test_minhash_degenerate_bucket_bounded_and_connected(spark):
+    n = 300
+    docs = spark.createDataFrame(
+        [(i, "the exact same boilerplate text appears in every file here") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.9, bucket_cap=50).collect()
+    # bounded: the identical-signature mega-bucket chains linearly in
+    # every band; after pair dedup that's exactly n-1 edges
+    assert len(pairs) == n - 1
+    assert all(r.est_jaccard == 1.0 for r in pairs)
+    # connectivity: the n-1 edges span all n docs as one component
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(int(r.doc_a))] = find(int(r.doc_b))
+    assert len({find(i) for i in range(n)}) == 1
+
+
+def test_simhash_degenerate_bucket_bounded(spark):
+    n = 200
+    docs = spark.createDataFrame(
+        [(i, "identical tokens for simhash voting every time") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dups(docs, max_hamming=3, bucket_cap=40).collect()
+    assert len(pairs) == n - 1
+    assert all(r.hamming == 0 for r in pairs)
+
+
+def test_embedding_near_dup_degenerate_bucket_bounded(spark):
+    n = 150
+    base = [0.5, -0.25, 0.125, 1.0]
+    docs = spark.createDataFrame([(i, base) for i in range(n)], "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(docs, threshold=0.99, bucket_cap=30).collect()
+    assert len(pairs) == n - 1
+    assert all(abs(r.cosine - 1.0) < 1e-6 for r in pairs)
+
+
+def test_minhash_band_shuffle_carries_no_signatures(spark):
+    """Plan check: no full `sig` array on the exchange below the bucket
+    aggregation — signatures rejoin by id after pair dedup."""
+    docs = spark.createDataFrame(
+        [(i, f"some document number {i} with shared words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    df = minhash_lsh_pairs(docs, threshold=0.1, persist_sigs=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the window/aggregate stage over (band, bucket) must see only the
+    # narrow struct — assert the explode output row doesn't include sig
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(band" in line:
+            assert "sig" not in line, line
