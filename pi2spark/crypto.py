@@ -79,7 +79,15 @@ def _resolve_keys(keys) -> Mapping[str, bytes]:
 def broadcast_keys(spark: SparkSession, key_map: Mapping[str, bytes]):
     """Ship the registry's materialized key map to executors once per
     pass — the Spark analogue of the reference's replicated global
-    key store (KafkaSecretKeyStore.java:207-215)."""
+    key store (KafkaSecretKeyStore.java:207-215).
+
+    Scale cutover: a broadcast dict costs ~150 B/subject of driver AND
+    executor heap (10^6 subjects ≈ 150 MB — the practical ceiling).
+    Beyond that, pass a keyed ``(subject_id, key)`` **DataFrame** to
+    ``encrypt_table``/``decrypt_table`` instead (see
+    ``KeyRegistry.key_df``): the key distribution becomes a join that
+    Spark sizes itself (broadcast-hash while small, shuffle join at
+    10^7-10^8 subjects), with no driver materialization."""
     return spark.sparkContext.broadcast(dict(key_map))
 
 
@@ -195,6 +203,123 @@ def make_decrypt_udf(keys, strict: bool = False, binary: bool = False):
     return pandas_udf(_decrypt_result(binary))(_decrypt)
 
 
+def make_encrypt_udf_keyed(pii_column: str):
+    """Keyed-join variant of the encrypt-swap: the per-row key arrives
+    as a column (from a join against the key DataFrame) instead of a
+    broadcast map — the unbounded-subject-cardinality path."""
+
+    def _encrypt(subject: pd.Series, value: pd.Series, key: pd.Series) -> pd.DataFrame:
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        n = len(value)
+        out = {
+            "subject_id": np.full(n, None, dtype=object),
+            "kms_id": np.full(n, None, dtype=object),
+            "data": np.full(n, None, dtype=object),
+            "personal_data_field": np.full(n, None, dtype=object),
+            "used_transformation": np.full(n, None, dtype=object),
+            "initialization_vector": np.full(n, None, dtype=object),
+        }
+        aeads: dict[bytes, "AESGCM"] = {}
+        for i in range(n):
+            v = value.iloc[i]
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue
+            subj = subject.iloc[i]
+            if subj is None:
+                raise SubjectIdentifierRetrievalError(pii_column)
+            out["subject_id"][i] = subj
+            out["kms_id"][i] = KMS_ID
+            out["personal_data_field"][i] = pii_column
+            if len(v) == 0:
+                out["data"][i] = b""
+                out["used_transformation"][i] = NOOP_TRANSFORMATION
+                out["initialization_vector"][i] = b""
+                continue
+            k = key.iloc[i]
+            if k is None:
+                raise MissingCryptoMaterialsError(str(subj))
+            k = bytes(k)
+            aead = aeads.get(k)
+            if aead is None:
+                aead = aeads[k] = AESGCM(k)
+            nonce = os.urandom(GCM_NONCE_BYTES)
+            payload = v if isinstance(v, (bytes, bytearray)) else v.encode("utf-8")
+            out["data"][i] = aead.encrypt(nonce, bytes(payload), None)
+            out["used_transformation"][i] = TRANSFORMATION
+            out["initialization_vector"][i] = nonce
+        return pd.DataFrame(out)
+
+    return pandas_udf(ENVELOPE_SCHEMA)(_encrypt)
+
+
+def make_decrypt_udf_keyed(strict: bool = False, binary: bool = False):
+    """Keyed-join variant of the decrypt-swap (see
+    ``make_encrypt_udf_keyed``); a NULL key column means the subject is
+    crypto-shredded → tombstone (or raise when strict)."""
+
+    def _decrypt(env: pd.DataFrame, key: pd.Series) -> pd.DataFrame:
+        from cryptography.exceptions import InvalidTag
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        n = len(env)
+        content = np.full(n, None, dtype=object)
+        shredded = np.zeros(n, dtype=bool)
+        env = env.reset_index(drop=True)
+        key = key.reset_index(drop=True)
+        aeads: dict[bytes, "AESGCM"] = {}
+        for i in range(n):
+            subj = env["subject_id"].iloc[i]
+            if subj is None:
+                continue
+            transf = env["used_transformation"].iloc[i]
+            if transf == NOOP_TRANSFORMATION:
+                content[i] = b"" if binary else ""
+                continue
+            k = key.iloc[i]
+            if k is None:
+                if strict:
+                    raise MissingCryptoMaterialsError(str(subj))
+                shredded[i] = True
+                continue
+            k = bytes(k)
+            aead = aeads.get(k)
+            if aead is None:
+                aead = aeads[k] = AESGCM(k)
+            try:
+                plain = aead.decrypt(
+                    bytes(env["initialization_vector"].iloc[i]),
+                    bytes(env["data"].iloc[i]),
+                    None,
+                )
+                content[i] = plain if binary else plain.decode("utf-8")
+            except InvalidTag as e:
+                raise InvalidEncryptedMessageError(
+                    f"authentication failed for subject {subj}"
+                ) from e
+            except UnicodeDecodeError as e:
+                raise InvalidEncryptedMessageError(
+                    f"plaintext for subject {subj} is not valid UTF-8"
+                ) from e
+        return pd.DataFrame({"content": content, "shredded": shredded})
+
+    return pandas_udf(_decrypt_result(binary))(_decrypt)
+
+
+_KEY_COL = "__pi2_key"
+
+
+def _join_keys(df: DataFrame, spec: ProtectionSpec, key_df: DataFrame) -> DataFrame:
+    """Left-join the keyed (subject_id, key) DataFrame onto the table's
+    subject column as ``__pi2_key``. Spark picks the join strategy by
+    size (broadcast-hash while the key table is small, shuffle join
+    beyond), so subject cardinality is unbounded by driver memory."""
+    kd = key_df.select(
+        F.col("subject_id").alias("__pi2_subj"), F.col("key").alias(_KEY_COL)
+    )
+    return df.join(kd, df[spec.subject_column] == kd["__pi2_subj"], "left").drop("__pi2_subj")
+
+
 def encrypt_table(df: DataFrame, spec: ProtectionSpec, keys) -> DataFrame:
     """Encrypt-on-write stage (A12): replace each PII column with its
     envelope struct column and add a ``shredded`` lineage flag.
@@ -202,13 +327,25 @@ def encrypt_table(df: DataFrame, spec: ProtectionSpec, keys) -> DataFrame:
     Column order: non-PII columns unchanged, each PII column replaced
     in place by ``<col>_enc``, plus trailing ``shredded``.
     No-PII spec → returned unchanged apart from the flag (driver
-    short-circuit, A11)."""
+    short-circuit, A11).
+
+    ``keys`` is either a dict / Broadcast of ``subject → key`` (the
+    global-table analogue; fine to ~10^6 subjects) or a keyed
+    ``(subject_id, key)`` **DataFrame** — the unbounded-cardinality
+    join path (see ``broadcast_keys`` for the cutover)."""
     if not spec.requires_encryption:
         return df.withColumn("shredded", F.lit(False))
+    keyed = isinstance(keys, DataFrame)
+    src = _join_keys(df, spec, keys) if keyed else df
     cols: list[Column] = []
     for name in df.columns:
         if name in spec.pii_columns:
-            enc = make_encrypt_udf(keys, name)
+            if keyed:
+                enc_udf = make_encrypt_udf_keyed(name)
+                enc = lambda s, v, _u=enc_udf: _u(s, v, F.col(_KEY_COL))  # noqa: E731
+            else:
+                enc_udf = make_encrypt_udf(keys, name)
+                enc = lambda s, v, _u=enc_udf: _u(s, v)  # noqa: E731
             cols.append(
                 enc(F.col(spec.subject_column), F.col(name)).alias(
                     spec.envelope_column(name),
@@ -220,7 +357,7 @@ def encrypt_table(df: DataFrame, spec: ProtectionSpec, keys) -> DataFrame:
             )
         else:
             cols.append(F.col(name))
-    return df.select(*cols).withColumn("shredded", F.lit(False))
+    return src.select(*cols).withColumn("shredded", F.lit(False))
 
 
 def decrypt_table(df: DataFrame, spec: ProtectionSpec, keys, strict: bool = False) -> DataFrame:
@@ -228,10 +365,16 @@ def decrypt_table(df: DataFrame, spec: ProtectionSpec, keys, strict: bool = Fals
     envelope columns; rows of shredded subjects come back as
     tombstones (``content NULL, shredded=true``). Rows already
     tombstoned on disk (post-MERGE-shred, envelope NULL +
-    shredded=true) stay tombstones."""
+    shredded=true) stay tombstones.
+
+    ``keys``: dict / Broadcast map, or a keyed ``(subject_id, key)``
+    DataFrame for the join path (unbounded subject cardinality — a
+    subject absent from the key DataFrame joins to a NULL key, which
+    is exactly the crypto-shredded tombstone case)."""
     if not spec.requires_encryption:
         return df
-    out = df
+    keyed = isinstance(keys, DataFrame)
+    out = _join_keys(df, spec, keys) if keyed else df
     stored_flag = (
         F.coalesce(F.col("shredded"), F.lit(False)) if "shredded" in df.columns else F.lit(False)
     )
@@ -251,9 +394,13 @@ def decrypt_table(df: DataFrame, spec: ProtectionSpec, keys, strict: bool = Fals
     for name in spec.pii_columns:
         env_col = env_cols[name]
         binary = name in spec.binary_columns
-        dec = make_decrypt_udf(keys, strict=strict, binary=binary)
         res = f"__dec_{name}"
-        out = out.withColumn(res, dec(F.col(env_col)))
+        if keyed:
+            dec_k = make_decrypt_udf_keyed(strict=strict, binary=binary)
+            out = out.withColumn(res, dec_k(F.col(env_col), F.col(_KEY_COL)))
+        else:
+            dec = make_decrypt_udf(keys, strict=strict, binary=binary)
+            out = out.withColumn(res, dec(F.col(env_col)))
         out = out.withColumn(
             name,
             F.when(

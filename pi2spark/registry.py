@@ -200,6 +200,17 @@ class KeyRegistry:
         KafkaSecretKeyStore.java:207-215)."""
         return {s: m[-1].key for s, m in self._materials.items() if m}
 
+    def key_df(self, spark):
+        """Materialized keys as a ``(subject_id string, key binary)``
+        DataFrame — the scale path: hand this to
+        ``encrypt_table``/``decrypt_table`` instead of a broadcast map
+        and the key distribution becomes a size-appropriate join
+        (see ``pi2spark.crypto.broadcast_keys`` for the cutover). A
+        deployment whose registry outgrows this driver-side registry
+        stores keys as a table and passes its scan here unchanged."""
+        rows = [(s, bytearray(m[-1].key)) for s, m in self._materials.items() if m]
+        return spark.createDataFrame(rows, "subject_id string, key binary")
+
     def subjects(self) -> set[str]:
         return set(self._materials.keys())
 
