@@ -140,6 +140,43 @@ def _langid_case(count_tpl: str) -> str:
 _SPARK_COUNT = "size(regexp_extract_all(lower(text), '{pat}', 0))"
 _DUCK_COUNT = "len(regexp_extract_all(lower(text), '{pat}'))"
 
+# -- shared MinHash-over-md5 construction (oracle-mirrorable) ---------------
+# Shingle hash = first 8 md5 hex chars as an int (bit-identical in both
+# engines); permutations = (A*h + B) mod P with A < 2^31 so A*h < 2^63
+# never overflows checked BIGINT arithmetic. The production path
+# (pi2spark.textops) uses the faster splitmix64 construction; this
+# fixed-parameter variant exists so the signature math itself has a
+# DuckDB oracle.
+_MINHASH_P = 4294967311  # smallest prime > 2^32
+_MINHASH_AB = [
+    (1540483477, 1013904223), (1865811235, 69069), (1332053803, 362437),
+    (741103597, 104729), (1597334677, 7919), (2038074743, 65537),
+    (1291394947, 514229), (1103515245, 12345),
+]
+_SHINGLES = {
+    "spark": "array_distinct(transform(sequence(1, greatest(length(text)-4,1)), i -> substring(lower(text), i, 5)))",
+    "duck": "list_distinct(list_transform(range(1, greatest(length(text)-4,1)+1), i -> substr(lower(text), i, 5)))",
+}
+_SHINGLE_HASH = {
+    "spark": "CAST(conv(substr(md5(g),1,8),16,10) AS BIGINT)",
+    "duck": "CAST(concat('0x', substr(md5(g),1,8)) AS BIGINT)",
+}
+
+
+def _minhash_md5_sql(dialect: str, table: str) -> str:
+    xform, amin = (
+        ("transform", "array_min") if dialect == "spark" else ("list_transform", "list_min")
+    )
+    sigs = ", ".join(
+        f"{amin}({xform}(hs, h -> ({a} * h + {b}) % {_MINHASH_P})) AS sig{j + 1}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    )
+    return f"""
+        SELECT doc_id, {sigs} FROM (
+          SELECT doc_id, {xform}({_SHINGLES[dialect]}, g -> {_SHINGLE_HASH[dialect]}) AS hs
+          FROM {table})
+    """
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -294,6 +331,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = emb.filter(F.col("vec_id") == 0).first().embedding
         return brute_force_topk(emb, qvec, k=10)
 
+    def q_near_dup_verified(spark, sf_dir):
+        # The full near-dup pipeline with an exact answer: MinHash-LSH
+        # candidate generation (bucketed, bounded — the 100 TB path)
+        # followed by exact shingle-set Jaccard verification. The
+        # oracle recomputes the same answer by brute force, so this row
+        # checks LSH recall, not just plumbing.
+        docs = _load(spark, sf_dir, "documents")
+        sh = docs.select(
+            F.col("doc_id"),
+            F.expr(_SHINGLES["spark"]).alias("s"),
+        )
+        cand = minhash_lsh_pairs(docs, threshold=0.0).select("doc_a", "doc_b")
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), F.size("s").alias("na"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.size("s").alias("nb"))
+        inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+        jac = inter / (F.col("na") + F.col("nb") - inter)
+        return (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.8)
+        )
+
+    def q_minhash_sigs_md5(spark, sf_dir):
+        # Oracle-mirrorable MinHash signature math (see _minhash_md5_sql)
+        docs = _load(spark, sf_dir, "documents")
+        docs.createOrReplaceTempView("documents_mh")
+        return spark.sql(_minhash_md5_sql("spark", "documents_mh"))
+
+    def q_cosine_consecutive(spark, sf_dir):
+        # exact-cosine verification form over the embeddings table
+        # (the all-pairs scale path goes through LSH buckets)
+        from pi2spark.vectorops import _dot
+
+        emb = _load(spark, sf_dir, "embeddings")
+        a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
+        b = emb.select((F.col("vec_id") - 1).alias("doc_a"), F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+        j = a.join(b, "doc_a")
+        va = F.transform("ea", lambda x: x.cast("double"))
+        vb = F.transform("eb", lambda x: x.cast("double"))
+        cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+        return j.select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
+
     def q_events_hourly(spark, sf_dir):
         ev = _load(spark, sf_dir, "events")
         return (
@@ -402,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_verified": q_near_dup_verified,
+        "minhash_sigs_md5": q_minhash_sigs_md5,
+        "cosine_consecutive": q_cosine_consecutive,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "top_events_window": q_top_events_window,
@@ -509,6 +592,24 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_intersect(a.t, b.t)) /
                          greatest(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)), 1), 4) AS jaccard
             FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        """,
+        "near_dup_verified": f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES["duck"]} AS s FROM documents)
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(len(list_intersect(a.s, b.s)) * 1.0 /
+                           greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1), 4) AS jaccard
+              FROM sh a JOIN sh b
+                ON a.doc_id < b.doc_id
+               AND least(len(a.s), len(b.s)) * 1.0 / greatest(len(a.s), len(b.s)) >= 0.8
+            ) t WHERE jaccard >= 0.8
+        """,
+        "minhash_sigs_md5": _minhash_md5_sql("duck", "documents"),
+        "cosine_consecutive": """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
