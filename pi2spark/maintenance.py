@@ -419,18 +419,18 @@ def expire_snapshots(
     if not expired:
         return {"expired_snapshots": 0, "deleted_files": 0}
 
-    def manifest_paths(entry) -> set[str]:
-        import json as _json
-
-        with open(os.path.join(table._meta_dir, entry["manifest"]), "r", encoding="utf-8") as fh:
-            return {d["path"] for d in _json.load(fh)["files"]}
-
     referenced = set()
+    referenced_meta = set()
     for s in retained:
-        referenced |= manifest_paths(s)
+        referenced |= table.manifest_data_paths(s)
+        referenced_meta |= table.manifest_meta_files(s)
     deletable = set()
+    deletable_meta = set()
     for s in expired:
-        deletable |= manifest_paths(s) - referenced
+        deletable |= table.manifest_data_paths(s) - referenced
+        # manifest shards are shared across snapshots (commit reuses
+        # untouched shards by reference): refcount them like data files
+        deletable_meta |= table.manifest_meta_files(s) - referenced_meta
 
     # Metadata-first (Iceberg's expire ordering): commit the trimmed
     # snapshot list BEFORE touching any data file. A crash after this
@@ -446,8 +446,8 @@ def expire_snapshots(
         p = os.path.join(table.root, rel)
         if os.path.exists(p):
             os.remove(p)
-    for s in expired:
-        mp = os.path.join(table._meta_dir, s["manifest"])
+    for name in sorted(deletable_meta):
+        mp = os.path.join(table._meta_dir, name)
         if os.path.exists(mp):
             os.remove(mp)
     return {

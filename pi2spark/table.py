@@ -34,12 +34,16 @@ Semantics (SURVEY.md §2 B1/B2/B5/B6):
   parent snapshot; removed files stay on disk for time travel until
   reference-counted snapshot expiry deletes them (``maintenance.expire``).
 
-The 10^12-file scale note: at sandbox scale a manifest is one JSON
-file; entries are kept as a plain list. The design point that matters
-for scale is that *readers only load the manifests of the snapshot
-they scan* and stats pruning happens before file listing is shipped to
-Spark — manifest sharding (manifest-list → manifests) would slot in at
-``Snapshot.manifest_path`` without changing any caller.
+The 10^12-file scale story (format v2, the default): a snapshot points
+at a **manifest list** — an index of immutable manifest *shards*, each
+holding at most ``manifest.shard_size`` file entries plus shard-level
+stats (path range, rows, bytes). Commits reuse untouched shards **by
+reference**: only shards whose path range overlaps a removed file are
+read and rewritten; appends go into fresh shards. So commit cost is
+O(affected shards + added files), not O(table files) — Iceberg's
+manifest-list → manifest layering. Snapshot expiry reference-counts
+shards (shared across snapshots) as well as data files. Format v1
+(single-manifest) tables remain readable.
 """
 
 from __future__ import annotations
@@ -59,6 +63,8 @@ STATS_COLUMNS_PROP = "stats.columns"
 DEFAULT_STATS_COLUMNS = ["repo", "path", "lang", "zkey"]
 BLOOM_COLUMNS_PROP = "bloom.columns"
 DEFAULT_BLOOM_COLUMNS = ["repo"]  # subject column: exact shred targeting
+SHARD_SIZE_PROP = "manifest.shard_size"
+DEFAULT_SHARD_SIZE = 10_000  # file entries per manifest shard
 
 
 # ---------------------------------------------------------------------------
@@ -262,12 +268,14 @@ class Table:
     # -- creation / loading --
 
     @classmethod
-    def create(cls, root: str, properties: dict | None = None) -> "Table":
+    def create(
+        cls, root: str, properties: dict | None = None, format_version: int = 2
+    ) -> "Table":
         t = cls(root)
         os.makedirs(t._meta_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
         meta = {
-            "format_version": 1,
+            "format_version": format_version,
             "table_uuid": str(uuid.uuid4()),
             "properties": properties or {},
             "current_snapshot_id": None,
@@ -318,16 +326,66 @@ class Table:
         entry = next((s for s in meta["snapshots"] if s["snapshot_id"] == sid), None)
         if entry is None:
             raise Pi2SparkError(f"snapshot {sid} not found (expired?)")
-        with open(os.path.join(self._meta_dir, entry["manifest"]), "r", encoding="utf-8") as fh:
-            manifest = json.load(fh)
         return Snapshot(
             snapshot_id=sid,
             parent_id=entry.get("parent_id"),
             timestamp_ms=entry["timestamp_ms"],
             operation=entry["operation"],
-            files=[DataFile.from_json(d) for d in manifest["files"]],
+            files=[DataFile.from_json(d) for d in self._manifest_entries(entry)],
             summary=entry.get("summary", {}),
         )
+
+    # -- manifest layering: v2 manifest-list → shards, v1 single file --
+
+    def _read_meta_json(self, name: str) -> dict:
+        with open(os.path.join(self._meta_dir, name), "r", encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def _manifest_entries(self, entry: dict) -> list[dict]:
+        """All file entries of one snapshot (reads every shard — the
+        full listing a scan needs anyway)."""
+        if "manifest_list" in entry:
+            out: list[dict] = []
+            for sh in self._read_meta_json(entry["manifest_list"])["manifests"]:
+                out.extend(self._read_meta_json(sh["path"])["files"])
+            return out
+        return self._read_meta_json(entry["manifest"])["files"]
+
+    def manifest_data_paths(self, entry: dict) -> set[str]:
+        """Data-file paths referenced by one snapshot (expiry refcount)."""
+        return {d["path"] for d in self._manifest_entries(entry)}
+
+    def manifest_meta_files(self, entry: dict) -> set[str]:
+        """Metadata files (manifest list + shards, or the single v1
+        manifest) belonging to one snapshot. Shards are SHARED across
+        snapshots (commit reuses untouched shards by reference), so
+        expiry must refcount these too."""
+        if "manifest_list" in entry:
+            shards = {
+                sh["path"] for sh in self._read_meta_json(entry["manifest_list"])["manifests"]
+            }
+            return shards | {entry["manifest_list"]}
+        return {entry["manifest"]}
+
+    def _write_shard(self, files_json: list[dict]) -> dict:
+        """Write one immutable manifest shard; return its index record
+        with shard-level stats (path range + totals) so later commits
+        can skip reading shards untouched by their removals and compute
+        snapshot totals without reading any shard."""
+        name = f"manifest-{uuid.uuid4().hex[:12]}.json"
+        tmp = os.path.join(self._meta_dir, name + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"files": files_json}, fh)
+        os.rename(tmp, os.path.join(self._meta_dir, name))
+        paths = [f["path"] for f in files_json]
+        return {
+            "path": name,
+            "n_files": len(files_json),
+            "rows": sum(f["rows"] for f in files_json),
+            "bytes": sum(f["bytes"] for f in files_json),
+            "min_path": min(paths),
+            "max_path": max(paths),
+        }
 
     # -- atomic commit (B6) --
 
@@ -357,7 +415,17 @@ class Table:
         summary: dict | None = None,
         expected_version: int | None = None,
     ) -> Snapshot:
-        """Commit a new snapshot: parent's files − removed + added."""
+        """Commit a new snapshot: parent's files − removed + added.
+
+        Format v2: O(affected shards + added files). Untouched parent
+        shards are reused by reference; only shards whose path range
+        overlaps a removal are read and rewritten; added files go into
+        fresh shards. All new metadata files carry writer-unique names
+        (two optimistic writers racing from the same parent both
+        compute sid = parent+1 — a fixed name would let the loser
+        clobber the winner's committed manifest); nothing becomes
+        visible until the version swap, and a losing writer's files are
+        removed as orphans."""
         version = self.current_version()
         if expected_version is not None and version != expected_version:
             raise ConcurrentCommitError(
@@ -366,59 +434,128 @@ class Table:
         meta = self._metadata(version)
         parent_id = meta["current_snapshot_id"]
         removed = set(removed_paths)
+        sid = (parent_id or 0) + 1
+        new_meta_files: list[str] = []
+
+        if meta.get("format_version", 1) >= 2:
+            entry_extra, summ_totals = self._commit_sharded(
+                meta, parent_id, sid, list(added), removed, new_meta_files
+            )
+        else:
+            entry_extra, summ_totals = self._commit_single(
+                meta, parent_id, sid, list(added), removed, new_meta_files
+            )
+
+        summ = dict(summary or {})
+        summ.update({"added-files": len(added), "removed-files": len(removed)})
+        summ.update(summ_totals)
+        entry = {
+            "snapshot_id": sid,
+            "parent_id": parent_id,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "summary": summ,
+        }
+        entry.update(entry_extra)
+        meta["snapshots"].append(entry)
+        meta["current_snapshot_id"] = sid
+        try:
+            self._write_version(version + 1, meta)
+        except ConcurrentCommitError:
+            # lost the race: none of our metadata files were linked —
+            # remove the orphans (reused parent shards are NOT in this
+            # list and stay untouched)
+            for name in new_meta_files:
+                try:
+                    os.remove(os.path.join(self._meta_dir, name))
+                except OSError:
+                    pass
+            raise
+        return self.snapshot(sid)
+
+    def _commit_single(
+        self, meta, parent_id, sid, added, removed, new_meta_files
+    ) -> tuple[dict, dict]:
+        """v1: one manifest file holding the full listing."""
         if parent_id is not None:
-            parent_files = self.snapshot(parent_id).files
+            parent_entry = next(s for s in meta["snapshots"] if s["snapshot_id"] == parent_id)
+            parent_files = [DataFile.from_json(d) for d in self._manifest_entries(parent_entry)]
         else:
             parent_files = []
         missing = removed - {f.path for f in parent_files}
         if missing:
             raise Pi2SparkError(f"cannot remove files absent from parent snapshot: {missing}")
         files = [f for f in parent_files if f.path not in removed] + list(added)
-
-        sid = (parent_id or 0) + 1
-        # Writer-unique manifest name: two optimistic writers racing from
-        # the same parent both compute sid = parent+1; with a fixed name
-        # the loser's pre-commit manifest write would clobber the
-        # winner's already-committed manifest. The uuid suffix makes the
-        # manifest private to this writer until the version swap links
-        # it into metadata; a losing writer leaves only an orphan file.
         manifest_name = f"snap-{sid}-{uuid.uuid4().hex[:8]}.json"
         mtmp = os.path.join(self._meta_dir, manifest_name + f".tmp-{uuid.uuid4().hex[:8]}")
         with open(mtmp, "w", encoding="utf-8") as fh:
             json.dump({"files": [f.to_json() for f in files]}, fh)
         os.rename(mtmp, os.path.join(self._meta_dir, manifest_name))
+        new_meta_files.append(manifest_name)
+        totals = {
+            "total-files": len(files),
+            "total-rows": sum(f.rows for f in files),
+            "total-bytes": sum(f.bytes for f in files),
+        }
+        return {"manifest": manifest_name}, totals
 
-        summ = dict(summary or {})
-        summ.update(
-            {
-                "added-files": len(added),
-                "removed-files": len(removed),
-                "total-files": len(files),
-                "total-rows": sum(f.rows for f in files),
-                "total-bytes": sum(f.bytes for f in files),
-            }
-        )
-        meta["snapshots"].append(
-            {
-                "snapshot_id": sid,
-                "parent_id": parent_id,
-                "timestamp_ms": int(time.time() * 1000),
-                "operation": operation,
-                "manifest": manifest_name,
-                "summary": summ,
-            }
-        )
-        meta["current_snapshot_id"] = sid
-        try:
-            self._write_version(version + 1, meta)
-        except ConcurrentCommitError:
-            # lost the race: our manifest was never linked — remove the orphan
-            try:
-                os.remove(os.path.join(self._meta_dir, manifest_name))
-            except OSError:
-                pass
-            raise
-        return self.snapshot(sid)
+    def _commit_sharded(
+        self, meta, parent_id, sid, added, removed, new_meta_files
+    ) -> tuple[dict, dict]:
+        """v2: manifest-list → shards with reuse-by-reference."""
+        props = meta.get("properties") or {}
+        shard_size = int(props.get(SHARD_SIZE_PROP, DEFAULT_SHARD_SIZE))
+        if parent_id is not None:
+            parent_entry = next(s for s in meta["snapshots"] if s["snapshot_id"] == parent_id)
+            parent_index = self._read_meta_json(parent_entry["manifest_list"])["manifests"]
+        else:
+            parent_index = []
+
+        # pass 1 (read-only): locate removals using shard path ranges —
+        # shards with no overlapping removal are never opened
+        rewrite: dict[str, list[dict]] = {}
+        found: set[str] = set()
+        for sh in parent_index:
+            hits = {p for p in removed if sh["min_path"] <= p <= sh["max_path"]}
+            if not hits:
+                continue
+            entries = self._read_meta_json(sh["path"])["files"]
+            present = {e["path"] for e in entries}
+            found |= present & removed
+            rewrite[sh["path"]] = [e for e in entries if e["path"] not in removed]
+        missing = removed - found
+        if missing:
+            raise Pi2SparkError(f"cannot remove files absent from parent snapshot: {missing}")
+
+        # pass 2 (write): rewrite affected shards, reuse the rest
+        new_index: list[dict] = []
+        for sh in parent_index:
+            if sh["path"] in rewrite:
+                kept = rewrite[sh["path"]]
+                if kept:
+                    rec = self._write_shard(kept)
+                    new_meta_files.append(rec["path"])
+                    new_index.append(rec)
+            else:
+                new_index.append(sh)
+        added_json = [f.to_json() for f in added]
+        for i in range(0, len(added_json), shard_size):
+            rec = self._write_shard(added_json[i : i + shard_size])
+            new_meta_files.append(rec["path"])
+            new_index.append(rec)
+
+        list_name = f"snaplist-{sid}-{uuid.uuid4().hex[:8]}.json"
+        ltmp = os.path.join(self._meta_dir, list_name + f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(ltmp, "w", encoding="utf-8") as fh:
+            json.dump({"manifests": new_index}, fh)
+        os.rename(ltmp, os.path.join(self._meta_dir, list_name))
+        new_meta_files.append(list_name)
+        totals = {
+            "total-files": sum(sh["n_files"] for sh in new_index),
+            "total-rows": sum(sh["rows"] for sh in new_index),
+            "total-bytes": sum(sh["bytes"] for sh in new_index),
+        }
+        return {"manifest_list": list_name}, totals
 
     # -- write path --
 

@@ -96,10 +96,16 @@ def test_losing_commit_does_not_clobber_winner_manifest(tmp_path):
     # The winner's committed snapshot must be fully intact.
     snap = t1.snapshot(winner.snapshot_id)
     assert {f.path for f in snap.files} == {"data/a.parquet", "data/b.parquet"}
-    # And the loser left no orphan manifest behind.
-    manifests = [n for n in os.listdir(os.path.join(root, "metadata")) if n.startswith("snap-")]
-    linked = {s["manifest"] for s in t1.snapshots()}
-    assert set(manifests) == linked
+    # And the loser left no orphan metadata (manifest lists or shards).
+    on_disk = {
+        n
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith(("snap-", "snaplist-", "manifest-"))
+    }
+    linked = set()
+    for s in t1.snapshots():
+        linked |= t1.manifest_meta_files(s)
+    assert on_disk == linked
 
 
 # ---------------------------------------------------------------------------

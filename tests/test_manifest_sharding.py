@@ -1,0 +1,113 @@
+"""Format-v2 manifest sharding: manifest-list → immutable shards with
+reuse-by-reference — the 10^12-file commit-cost story."""
+
+import os
+
+import pytest
+
+from pi2spark.maintenance import expire_snapshots
+from pi2spark.table import DataFile, Table
+
+
+def _df(path):
+    return DataFile(path=path, rows=10, bytes=100)
+
+
+def _mk(tmp_path, shard_size=5):
+    root = str(tmp_path / "tbl")
+    t = Table.create(root, properties={"manifest.shard_size": shard_size})
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    return t, root
+
+
+def _shards_of(t, sid):
+    entry = next(s for s in t.snapshots() if s["snapshot_id"] == sid)
+    return t._read_meta_json(entry["manifest_list"])["manifests"]
+
+
+def test_append_splits_into_shards(tmp_path):
+    t, root = _mk(tmp_path, shard_size=5)
+    t.commit("append", added=[_df(f"data/f{i:03d}.parquet") for i in range(12)])
+    shards = _shards_of(t, 1)
+    assert [sh["n_files"] for sh in shards] == [5, 5, 2]
+    assert len(t.snapshot().files) == 12
+    # shard index carries totals + path ranges
+    assert shards[0]["min_path"] == "data/f000.parquet"
+    assert shards[0]["max_path"] == "data/f004.parquet"
+    assert sum(sh["rows"] for sh in shards) == 120
+
+
+def test_commit_reuses_untouched_shards_by_reference(tmp_path):
+    t, root = _mk(tmp_path, shard_size=5)
+    t.commit("append", added=[_df(f"data/f{i:03d}.parquet") for i in range(15)])
+    before = _shards_of(t, 1)
+    # remove one file living in the middle shard
+    t.commit("compact", added=[_df("data/z-new.parquet")], removed_paths=["data/f007.parquet"])
+    after = _shards_of(t, 2)
+    # first and last original shards are the SAME files (reused by name)
+    assert before[0]["path"] in {sh["path"] for sh in after}
+    assert before[2]["path"] in {sh["path"] for sh in after}
+    # middle shard was rewritten under a new name
+    assert before[1]["path"] not in {sh["path"] for sh in after}
+    assert len(t.snapshot().files) == 15
+    # totals in the snapshot summary come from the shard index
+    entry = next(s for s in t.snapshots() if s["snapshot_id"] == 2)
+    assert entry["summary"]["total-files"] == 15
+
+
+def test_remove_missing_file_raises_before_writing(tmp_path):
+    t, root = _mk(tmp_path, shard_size=5)
+    t.commit("append", added=[_df(f"data/f{i:03d}.parquet") for i in range(6)])
+    meta_before = set(os.listdir(os.path.join(root, "metadata")))
+    with pytest.raises(Exception, match="absent from parent"):
+        t.commit("compact", added=[], removed_paths=["data/nope.parquet"])
+    assert set(os.listdir(os.path.join(root, "metadata"))) == meta_before
+
+
+def test_expire_keeps_shards_shared_with_retained_snapshots(tmp_path):
+    t, root = _mk(tmp_path, shard_size=5)
+    for i in range(10):
+        with open(os.path.join(root, "data", f"f{i:03d}.parquet"), "wb") as fh:
+            fh.write(b"x")
+    t.commit("append", added=[_df(f"data/f{i:03d}.parquet") for i in range(10)])
+    shared = {sh["path"] for sh in _shards_of(t, 1)}
+    # snapshot 2 reuses snapshot 1's shards plus one new one
+    with open(os.path.join(root, "data", "extra.parquet"), "wb") as fh:
+        fh.write(b"x")
+    t.commit("append", added=[_df("data/extra.parquet")])
+    assert shared <= {sh["path"] for sh in _shards_of(t, 2)}
+
+    out = expire_snapshots(t, keep_last=1)
+    assert out["expired_snapshots"] == 1
+    # shards shared with the retained snapshot survive; scan still works
+    for name in shared:
+        assert os.path.exists(os.path.join(root, "metadata", name)), name
+    assert len(t.snapshot().files) == 11
+    # no data file was deleted (all still referenced)
+    assert out["deleted_files"] == 0
+
+
+def test_expire_deletes_unreferenced_shards_and_files(tmp_path):
+    t, root = _mk(tmp_path, shard_size=5)
+    for name in ("old.parquet", "new.parquet"):
+        with open(os.path.join(root, "data", name), "wb") as fh:
+            fh.write(b"x")
+    t.commit("append", added=[_df("data/old.parquet")])
+    old_shards = {sh["path"] for sh in _shards_of(t, 1)}
+    t.commit("compact", added=[_df("data/new.parquet")], removed_paths=["data/old.parquet"])
+    out = expire_snapshots(t, keep_last=1)
+    assert out["deleted_files"] == 1
+    assert not os.path.exists(os.path.join(root, "data", "old.parquet"))
+    for name in old_shards:
+        assert not os.path.exists(os.path.join(root, "metadata", name)), name
+    assert len(t.snapshot().files) == 1
+
+
+def test_v1_tables_still_work(tmp_path):
+    root = str(tmp_path / "v1tbl")
+    t = Table.create(root, format_version=1)
+    t.commit("append", added=[_df("data/a.parquet"), _df("data/b.parquet")])
+    t.commit("compact", added=[_df("data/c.parquet")], removed_paths=["data/a.parquet"])
+    assert {f.path for f in t.snapshot().files} == {"data/b.parquet", "data/c.parquet"}
+    entry = next(s for s in t.snapshots() if s["snapshot_id"] == 2)
+    assert "manifest" in entry and "manifest_list" not in entry
