@@ -60,11 +60,10 @@ def entry(spark: SparkSession) -> DataFrame:
     from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
     from pi2spark.maintenance import cluster, compact, expire_snapshots, forget_and_shred
     from pi2spark.registry import KeyRegistry
-    from pi2spark.spec import ProtectionSpec
+    from pi2spark.spec import annotate_schema
     from pi2spark.table import Table
 
     sf_dir = "/root/testdata/sf0.001"
-    spec = ProtectionSpec.for_source_files()
     plain = _source_table_from_documents(spark, sf_dir)
 
     root = tempfile.mkdtemp(prefix="pi2spark-entry-")
@@ -72,7 +71,13 @@ def entry(spark: SparkSession) -> DataFrame:
     reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
     keys = broadcast_keys(spark, reg.key_map())
 
-    t = Table.create(os.path.join(root, "tbl"))
+    # protection is DECLARED IN TABLE METADATA (A2/A3): the spec below
+    # compiles from the stored annotated schema, not from code
+    t = Table.create(
+        os.path.join(root, "tbl"),
+        protection=annotate_schema(plain.schema, "repo", ["content"]),
+    )
+    spec = t.protection_spec()
     t.append(encrypt_table(plain.repartition(8), spec, keys), spark)
     compact(t, spark, target_file_bytes=4 * 1024 * 1024)
     cluster(t, spark, curve="morton", target_file_bytes=64 * 1024, bits=12)
@@ -423,16 +428,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
         from pi2spark.maintenance import cluster, compact, expire_snapshots, forget_and_shred
         from pi2spark.registry import KeyRegistry
-        from pi2spark.spec import ProtectionSpec
+        from pi2spark.spec import annotate_schema
         from pi2spark.table import Table
 
-        spec = ProtectionSpec.for_source_files()
         plain = _source_table_from_documents(spark, sf_dir)
         root = tempfile.mkdtemp(prefix="pi2spark-q-")
         reg = KeyRegistry(os.path.join(root, "kms.jsonl"))
         reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
         keys = broadcast_keys(spark, reg.key_map())
-        t = Table.create(os.path.join(root, "tbl"))
+        t = Table.create(
+            os.path.join(root, "tbl"),
+            protection=annotate_schema(plain.schema, "repo", ["content"]),
+        )
+        spec = t.protection_spec()
         t.append(encrypt_table(plain.repartition(8), spec, keys), spark)
         compact(t, spark, target_file_bytes=4 * 1024 * 1024)
         cluster(t, spark, curve="morton", target_file_bytes=64 * 1024, bits=12)

@@ -22,9 +22,11 @@ exercised with fixture dicts.
 
 from __future__ import annotations
 
+import functools
 import json
 
 from pi2spark.errors import (
+    SchemaNotFoundError,
     SubjectIdentifierNotFoundError,
     TooManySubjectIdentifiersError,
 )
@@ -45,6 +47,28 @@ def _build(name: str, subjects: list[str], pii: list[str]) -> ProtectionSpec:
         pii_columns=tuple(pii),
         table_name=name,
     )
+
+
+@functools.lru_cache(maxsize=256)
+def compile_document(dialect: str, document: str, table_name: str = "table") -> ProtectionSpec:
+    """Compile a stored schema document (any dialect) to a
+    ``ProtectionSpec`` — the registry-lookup analogue
+    (``KafkaJsonSchemaProvider.java:47-80`` resolves a schema by id,
+    then compiles it). The ``lru_cache`` is the metadata cache (A4,
+    ``JsonSchemaPersonalMetadataProvider.java:25-38``): one compile per
+    distinct document, reused across every call site. ``ProtectionSpec``
+    is a frozen dataclass, so sharing the instance is safe."""
+    if dialect == "spark":
+        from pyspark.sql import types as T
+
+        return ProtectionSpec.from_schema(T.StructType.fromJson(json.loads(document)), table_name)
+    if dialect == "avro":
+        return from_avro_schema(document)
+    if dialect == "json-schema":
+        return from_json_schema(document)
+    if dialect == "protobuf":
+        return from_protobuf_descriptor(json.loads(document))
+    raise SchemaNotFoundError(f"unknown protection schema dialect {dialect!r}")
 
 
 def from_avro_schema(schema: dict | str) -> ProtectionSpec:

@@ -57,7 +57,7 @@ from typing import Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pi2spark.errors import ConcurrentCommitError, Pi2SparkError
+from pi2spark.errors import ConcurrentCommitError, Pi2SparkError, SchemaNotFoundError
 
 STATS_COLUMNS_PROP = "stats.columns"
 DEFAULT_STATS_COLUMNS = ["repo", "path", "lang", "zkey"]
@@ -252,6 +252,16 @@ class ColumnPredicate:
         raise Pi2SparkError(f"unknown predicate op {self.op}")
 
 
+def _protection_entry(document, dialect: str) -> dict:
+    """Normalize a protection schema document to its stored JSON form."""
+    if hasattr(document, "json") and not isinstance(document, (str, dict)):
+        # Spark StructType (avoid importing pyspark at module scope)
+        return {"dialect": dialect, "document": document.json()}
+    if isinstance(document, dict):
+        return {"dialect": dialect, "document": json.dumps(document)}
+    return {"dialect": dialect, "document": document}
+
+
 # ---------------------------------------------------------------------------
 # the table
 # ---------------------------------------------------------------------------
@@ -269,8 +279,18 @@ class Table:
 
     @classmethod
     def create(
-        cls, root: str, properties: dict | None = None, format_version: int = 2
+        cls,
+        root: str,
+        properties: dict | None = None,
+        format_version: int = 2,
+        protection=None,
+        protection_dialect: str = "spark",
     ) -> "Table":
+        """``protection``: optional annotated schema document to persist
+        in table metadata (A2/A3 end-to-end — the stored-schema-registry
+        analogue): a Spark ``StructType`` carrying pi2schema markers, or
+        a dialect document (Avro / JSON-Schema / protobuf-descriptor
+        dict or JSON string) with ``protection_dialect`` naming it."""
         t = cls(root)
         os.makedirs(t._meta_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
@@ -281,8 +301,38 @@ class Table:
             "current_snapshot_id": None,
             "snapshots": [],
         }
+        if protection is not None:
+            meta["protection"] = _protection_entry(protection, protection_dialect)
         t._write_version(1, meta)
         return t
+
+    def set_protection(self, document, dialect: str = "spark") -> None:
+        """Persist (or replace) the annotated schema document in table
+        metadata — a metadata-only commit. Readers compile their
+        ``ProtectionSpec`` from the stored document
+        (``protection_spec()``) instead of re-declaring it in code,
+        mirroring the reference's schema-registry lookup
+        (``KafkaJsonSchemaProvider.java:47-80``)."""
+        version = self.current_version()
+        meta = self._metadata(version)
+        meta["protection"] = _protection_entry(document, dialect)
+        self._write_version(version + 1, meta)
+
+    def protection_spec(self):
+        """Compile the stored protection schema (cached per document —
+        the A4 metadata cache). Raises ``SchemaNotFoundError`` when the
+        table carries no protection metadata."""
+        from pi2spark.dialects import compile_document
+
+        prot = self._metadata().get("protection")
+        if not prot:
+            raise SchemaNotFoundError(
+                f"table at {self.root} has no stored protection schema; "
+                "create(protection=...) or set_protection() first"
+            )
+        return compile_document(
+            prot["dialect"], prot["document"], os.path.basename(self.root.rstrip("/"))
+        )
 
     @classmethod
     def load(cls, root: str) -> "Table":

@@ -1,0 +1,71 @@
+"""Stored protection schema (A2/A3 end-to-end) + metadata cache (A4):
+the ProtectionSpec compiles from table metadata on load instead of
+being re-declared in code; one compile per distinct document."""
+
+import pytest
+from pyspark.sql import types as T
+
+from pi2spark.dialects import compile_document
+from pi2spark.errors import SchemaNotFoundError
+from pi2spark.spec import ProtectionSpec, annotate_schema
+from pi2spark.table import Table
+
+SCHEMA = annotate_schema(
+    T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    ),
+    subject_column="repo",
+    pii_columns=["content", "blob"],
+)
+
+
+def test_create_with_protection_roundtrips(tmp_path):
+    root = str(tmp_path / "tbl")
+    Table.create(root, protection=SCHEMA)
+    spec = Table.load(root).protection_spec()
+    assert spec.subject_column == "repo"
+    assert spec.pii_columns == ("content", "blob")
+    assert spec.binary_columns == ("blob",)
+
+
+def test_set_protection_on_existing_table(tmp_path):
+    root = str(tmp_path / "tbl")
+    t = Table.create(root)
+    with pytest.raises(SchemaNotFoundError):
+        t.protection_spec()
+    t.set_protection(SCHEMA)
+    assert Table.load(root).protection_spec().pii_columns == ("content", "blob")
+
+
+def test_avro_dialect_document_stored_and_compiled(tmp_path):
+    root = str(tmp_path / "tbl")
+    avro = {
+        "type": "record",
+        "name": "User",
+        "fields": [
+            {"name": "uuid", "type": "string", "pi2schema-subject-identifier": True},
+            {"name": "email", "type": ["null", "string", "pi2schema.EncryptedPersonalData"]},
+        ],
+    }
+    Table.create(root, protection=avro, protection_dialect="avro")
+    spec = Table.load(root).protection_spec()
+    assert spec.subject_column == "uuid"
+    assert spec.pii_columns == ("email",)
+
+
+def test_metadata_cache_compiles_once_per_document():
+    doc = SCHEMA.json()
+    s1 = compile_document("spark", doc, "t")
+    s2 = compile_document("spark", doc, "t")
+    assert s1 is s2  # lru_cache hit: the A4 metadata cache
+    assert isinstance(s1, ProtectionSpec)
+
+
+def test_unknown_dialect_raises():
+    with pytest.raises(SchemaNotFoundError):
+        compile_document("thrift", "{}", "t")
