@@ -175,8 +175,9 @@ def cluster(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     pass_id: str | None = None,
     sample_rows: int = 20_000,
+    incremental: bool = False,
 ) -> PassResult:
-    """Full-table clustering rewrite on the space-filling-curve key.
+    """Clustering rewrite on the space-filling-curve key.
 
     One shuffle: ``repartitionByRange(n, zkey, commit)`` — the range
     partitioner samples the key (AQE-aware), and the ``commit``
@@ -184,7 +185,15 @@ def cluster(
     instead of hot-spotting one reducer (B9 skew handling). Then
     ``sortWithinPartitions(zkey)`` and one output file per partition;
     per-file min/max on the clustered columns become tight, which is
-    what makes stats pruning (B2) and shred file-targeting (B8) cheap."""
+    what makes stats pruning (B2) and shred file-targeting (B8) cheap.
+
+    ``incremental=True`` rewrites ONLY files not yet clustered
+    (detected by absent ``zkey`` stats — i.e. appends since the last
+    clustering pass), leaving sorted files untouched by reference. At
+    100 TB this is the steady-state mode: pass cost tracks the append
+    rate, not the table size. The new files get their own key space
+    (fresh sample boundaries); stats pruning is unaffected because
+    predicates prune on the raw column min/max, not on zkey."""
     t0 = time.time()
     pass_id = pass_id or _new_pass_id("zorder")
     ledger = PassLedger(table.root, pass_id)
@@ -192,9 +201,12 @@ def cluster(
         return PassResult(curve, pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True)
 
     snap = table.snapshot()
-    if not snap.files:
+    in_files = snap.files
+    if incremental:
+        in_files = [f for f in in_files if "zkey" not in f.stats]
+    if not in_files:
         return PassResult(curve, pass_id, snap.snapshot_id, 0, 0, 0, 0.0, skipped=True)
-    total_bytes = sum(f.bytes for f in snap.files)
+    total_bytes = sum(f.bytes for f in in_files)
     n_files = max(1, round(total_bytes / target_file_bytes))
 
     task_id = "rewrite"
@@ -202,13 +214,13 @@ def cluster(
     if prior:
         added = [DataFile.from_json(d) for d in prior["outputs"]]
     else:
-        df = table.scan(spark, snapshot_id=snap.snapshot_id)
+        df = spark.read.parquet(*[os.path.join(table.root, f.path) for f in in_files])
         boundaries = column_boundaries(
             df,
             list(columns),
             bits=bits,
             sample_rows=sample_rows,
-            total_rows=sum(f.rows for f in snap.files),  # manifest knows; no count job
+            total_rows=sum(f.rows for f in in_files),  # manifest knows; no count job
         )
         bc = spark.sparkContext.broadcast(boundaries)
         keyed = with_cluster_key(df, columns, bits=bits, curve=curve, boundaries=boundaries, broadcast=bc)
@@ -228,7 +240,7 @@ def cluster(
         ledger.record_task(
             task_id,
             {
-                "inputs": [f.path for f in snap.files],
+                "inputs": [f.path for f in in_files],
                 "outputs": [a.to_json() for a in added],
                 "rows": sum(a.rows for a in added),
                 "bytes_in": total_bytes,
@@ -238,19 +250,24 @@ def cluster(
     new_snap = table.commit(
         curve,
         added=added,
-        removed_paths=[f.path for f in snap.files],
-        summary={"pass_id": pass_id, "cluster_columns": list(columns), "curve": curve},
+        removed_paths=[f.path for f in in_files],
+        summary={
+            "pass_id": pass_id,
+            "cluster_columns": list(columns),
+            "curve": curve,
+            "incremental": incremental,
+        },
     )
     ledger.record_commit(new_snap.snapshot_id)
     return PassResult(
         curve,
         pass_id,
         new_snap.snapshot_id,
-        rewritten_files=len(snap.files),
+        rewritten_files=len(in_files),
         added_files=len(added),
         rewritten_bytes=total_bytes,
         seconds=time.time() - t0,
-        details={"n_files": n_files},
+        details={"n_files": n_files, "incremental": incremental},
     )
 
 
@@ -455,3 +472,32 @@ def expire_snapshots(
         "deleted_files": len(deletable),
         "retained_snapshots": len(retained),
     }
+
+
+def remove_orphans(table: Table, older_than_ms: int | None = None) -> dict:
+    """Delete data files not referenced by ANY snapshot of the current
+    metadata (Iceberg's remove_orphan_files).
+
+    The complement of metadata-first expiry: a crash after the expire
+    commit (or an aborted write pass) leaves unreferenced files on
+    disk; this sweep reclaims them. The ``older_than_ms`` cutoff
+    (default: 3 hours ago) protects files being written by an
+    in-flight, not-yet-committed pass — never sweep with a cutoff
+    younger than your longest-running pass."""
+    cutoff_ms = older_than_ms if older_than_ms is not None else int(time.time() * 1000) - 3 * 3600 * 1000
+    referenced: set[str] = set()
+    for s in table.snapshots():
+        referenced |= table.manifest_data_paths(s)
+    deleted = 0
+    data_root = os.path.join(table.root, "data")
+    for dirpath, _dirnames, filenames in os.walk(data_root):
+        for name in filenames:
+            abs_p = os.path.join(dirpath, name)
+            rel = os.path.relpath(abs_p, table.root)
+            if rel in referenced:
+                continue
+            if os.path.getmtime(abs_p) * 1000 >= cutoff_ms:
+                continue  # possibly an in-flight write
+            os.remove(abs_p)
+            deleted += 1
+    return {"deleted": deleted, "referenced": len(referenced)}

@@ -1,0 +1,103 @@
+"""Incremental clustering (rewrite only not-yet-clustered files) and
+orphan-file sweep — the maintenance ops a 100 TB table needs to avoid
+full rewrites and to clean up after metadata-first expiry crashes."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
+from pi2spark.maintenance import cluster, remove_orphans
+from pi2spark.registry import KeyRegistry
+from pi2spark.spec import ProtectionSpec
+from pi2spark.synth import synthesize_source_files
+from pi2spark.table import Table
+from pi2spark.verify import content_digest
+
+SPEC = ProtectionSpec.for_source_files()
+
+
+def _setup(spark, tmp_path, n=600, seed=5):
+    plain = synthesize_source_files(spark, n, seed=seed, partitions=4, max_len=1200).cache()
+    reg = KeyRegistry()
+    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(str(tmp_path / "tbl"))
+    return t, plain, reg, keys
+
+
+def test_incremental_cluster_rewrites_only_new_files(spark, tmp_path):
+    t, plain, reg, keys = _setup(spark, tmp_path)
+    t.append(encrypt_table(plain, SPEC, keys), spark)
+    cluster(t, spark, curve="morton", target_file_bytes=64 * 1024, bits=12)
+    clustered_paths = {f.path for f in t.snapshot().files}
+    assert all("zkey" in f.stats for f in t.snapshot().files)
+
+    # second batch appended unclustered (same registry, new repos added)
+    extra = synthesize_source_files(spark, 200, seed=99, partitions=2, max_len=1200).cache()
+    reg.register_all(r.repo for r in extra.select("repo").distinct().collect())
+    keys2 = broadcast_keys(spark, reg.key_map())
+    enc_extra = encrypt_table(extra, SPEC, keys2)
+    t.append(enc_extra, spark)
+    baseline = content_digest(decrypt_table(t.scan(spark), SPEC, keys2))
+
+    res = cluster(
+        t, spark, curve="morton", target_file_bytes=64 * 1024, bits=12, incremental=True
+    )
+    after = t.snapshot().files
+    # every previously-clustered file survived by reference (same path)
+    assert clustered_paths <= {f.path for f in after} | set()
+    # only the unclustered appends were rewritten
+    assert res.rewritten_files < len(after)
+    assert all("zkey" in f.stats for f in after)
+    # content identical
+    assert content_digest(decrypt_table(t.scan(spark), SPEC, keys2)) == baseline
+    plain.unpersist()
+    extra.unpersist()
+
+
+def test_incremental_cluster_noop_when_all_clustered(spark, tmp_path):
+    t, plain, reg, keys = _setup(spark, tmp_path, n=300, seed=6)
+    t.append(encrypt_table(plain, SPEC, keys), spark)
+    cluster(t, spark, curve="morton", target_file_bytes=64 * 1024, bits=12)
+    res = cluster(
+        t, spark, curve="morton", target_file_bytes=64 * 1024, bits=12, incremental=True
+    )
+    assert res.skipped
+    plain.unpersist()
+
+
+def test_remove_orphans(spark, tmp_path):
+    t, plain, reg, keys = _setup(spark, tmp_path, n=200, seed=7)
+    t.append(encrypt_table(plain, SPEC, keys), spark)
+    referenced = {f.path for f in t.snapshot().files}
+
+    orphan_dir = os.path.join(t.root, "data", "crashed-pass")
+    os.makedirs(orphan_dir, exist_ok=True)
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"leftover")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+
+    out = remove_orphans(t, older_than_ms=int((time.time() - 3600) * 1000))
+    assert out["deleted"] == 1
+    assert not os.path.exists(orphan)
+    # every referenced file still present and scannable
+    for rel in referenced:
+        assert os.path.exists(os.path.join(t.root, rel))
+    assert t.scan(spark).count() == 200
+    plain.unpersist()
+
+
+def test_remove_orphans_age_guard_protects_inflight_writes(spark, tmp_path):
+    t, plain, reg, keys = _setup(spark, tmp_path, n=100, seed=8)
+    t.append(encrypt_table(plain, SPEC, keys), spark)
+    fresh = os.path.join(t.root, "data", "inflight.parquet")
+    with open(fresh, "wb") as fh:
+        fh.write(b"being written by a concurrent pass")
+    out = remove_orphans(t, older_than_ms=int((time.time() - 3600) * 1000))
+    assert out["deleted"] == 0
+    assert os.path.exists(fresh)
+    plain.unpersist()

@@ -47,6 +47,10 @@ AUDIT = [
     "top_events_window",
     "minhash_dedup",
     "simhash_dedup",
+    "near_dup_verified",
+    "minhash_sigs_md5",
+    "cosine_consecutive",
+    "zorder_morton",
 ]
 
 
@@ -78,6 +82,17 @@ def audit(name: str, plan: str) -> list[str]:
             problems.append(f"scan reads too many columns: {m.group(1)}")
     if name == "ann_topk" and "TakeOrderedAndProject" not in plan:
         problems.append("top-k executed as full sort, not TakeOrdered")
+    if name == "zorder_morton":
+        if "WindowExec" in plan or re.search(r"\bWindow\b", plan):
+            problems.append("rank computation uses a window (single-partition risk)")
+        if "BroadcastHashJoin" not in plan:
+            problems.append("rank lookup join did not broadcast")
+    if name in ("minhash_dedup", "simhash_dedup", "near_dup_verified"):
+        # the LSH bucket shuffle must not carry full signatures
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning(band" in line and "sig" in line:
+                problems.append("band shuffle carries full signatures")
+                break
     return problems
 
 

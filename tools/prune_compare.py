@@ -1,0 +1,92 @@
+"""Hilbert-vs-Morton pruning power (VERDICT r1 backlog item).
+
+Builds the same source table twice — clustered by Morton and by
+Hilbert keys over (repo, lang, path) — then replays a fixed predicate
+set against each snapshot's per-file min/max stats and counts files
+surviving driver-side pruning (Table.plan_files). Blooms are disabled
+so the comparison isolates what the space-filling curve buys the
+column stats; lower surviving-file counts = better clustering for
+that predicate shape.
+
+Writes BENCH/PRUNING.json and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROWS = int(os.environ.get("PRUNE_ROWS", "60000"))
+TARGET = int(os.environ.get("PRUNE_TARGET_BYTES", str(2 * 1024 * 1024)))
+
+
+def build(spark, plain, curve: str):
+    from pi2spark.maintenance import cluster
+    from pi2spark.table import Table
+
+    root = tempfile.mkdtemp(prefix=f"prune-{curve}-")
+    t = Table.create(
+        root,
+        properties={"stats.columns": ["repo", "lang", "path", "zkey"], "bloom.columns": []},
+    )
+    t.append(plain, spark)
+    cluster(t, spark, curve=curve, target_file_bytes=TARGET, bits=16)
+    return t
+
+
+def main() -> None:
+    from pi2spark.session import get_spark
+    from pi2spark.synth import synthesize_source_files
+    from pi2spark.table import ColumnPredicate
+
+    spark = get_spark("prune-compare", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    plain = synthesize_source_files(spark, ROWS, seed=42, partitions=32, max_len=4000).cache()
+    repos = sorted(r.repo for r in plain.select("repo").distinct().collect())
+    langs = sorted(r.lang for r in plain.select("lang").distinct().collect())
+
+    preds = {
+        "repo_eq_first": [ColumnPredicate("repo", "eq", repos[0])],
+        "repo_eq_mid": [ColumnPredicate("repo", "eq", repos[len(repos) // 2])],
+        "lang_eq_first": [ColumnPredicate("lang", "eq", langs[0])],
+        "lang_eq_mid": [ColumnPredicate("lang", "eq", langs[len(langs) // 2])],
+        "repo_and_lang": [
+            ColumnPredicate("repo", "eq", repos[len(repos) // 2]),
+            ColumnPredicate("lang", "eq", langs[len(langs) // 2]),
+        ],
+        "path_prefix_range": [ColumnPredicate("path", "between", ("src/a", "src/c"))],
+        "repo_in_three": [ColumnPredicate("repo", "in", values=tuple(repos[:3]))],
+    }
+
+    tables = {curve: build(spark, plain, curve) for curve in ("morton", "hilbert")}
+    plain.unpersist()
+
+    out: dict = {"rows": ROWS, "predicates": {}}
+    for curve, t in tables.items():
+        out[f"{curve}_files"] = len(t.snapshot().files)
+    for name, ps in preds.items():
+        rec = {}
+        for curve, t in tables.items():
+            snap, survivors = t.plan_files(filters=ps)
+            rec[curve] = {"survive": len(survivors), "total": len(snap.files)}
+        out["predicates"][name] = rec
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "PRUNING.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+
+    print(f"\nrows={ROWS}  morton files={out['morton_files']}  hilbert files={out['hilbert_files']}")
+    print("| predicate | morton survive/total | hilbert survive/total |")
+    print("|---|---|---|")
+    for name, rec in out["predicates"].items():
+        m, h = rec["morton"], rec["hilbert"]
+        print(f"| {name} | {m['survive']}/{m['total']} | {h['survive']}/{h['total']} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
