@@ -12,12 +12,16 @@ launch:
 Commands (one maintenance pass each — composable from a scheduler):
 
     init      create a table
-    ingest    synthesize + encrypt-append (demo/bench ingestion)
+    ingest    synthesize + encrypt-append (demo/bench ingestion);
+              stores the protection schema in table metadata on first run
     compact   bin-packing small-file compaction (B3)
-    cluster   Z-order / Hilbert clustering rewrite (B4)
+    cluster   Z-order / Hilbert clustering rewrite (B4);
+              --incremental rewrites only not-yet-clustered files
     shred     FORGET subjects + MERGE-shred their rows (B8 + A19 FORGET)
     expire    reference-counted snapshot expiry (B7)
-    verify    decrypted scan digest (B11 invariant surface)
+    orphans   delete data files referenced by no snapshot (age-guarded)
+    verify    decrypted scan digest (B11 invariant surface);
+              --keyed uses the join-based key distribution
     status    snapshot log + file counts
 
 All passes accept ``--pass-id`` for checkpoint resume (B10): rerunning
@@ -53,7 +57,7 @@ def _spark(args):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pi2spark", description=__doc__)
     p.add_argument("command", choices=[
-        "init", "ingest", "compact", "cluster", "shred", "expire", "verify", "status"
+        "init", "ingest", "compact", "cluster", "shred", "expire", "orphans", "verify", "status"
     ])
     p.add_argument("--table", required=True, help="table root directory")
     p.add_argument("--registry", help="KMS command-log path (default <table>/../kms.jsonl)")
@@ -67,6 +71,12 @@ def main(argv=None) -> int:
     p.add_argument("--rows", type=int, default=100_000, help="ingest: rows to synthesize")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--concurrency", type=int, default=8)
+    p.add_argument("--incremental", action="store_true",
+                   help="cluster: rewrite only files not yet clustered")
+    p.add_argument("--older-than-hours", type=float, default=3.0,
+                   help="orphans: only delete files older than this")
+    p.add_argument("--keyed", action="store_true",
+                   help="verify: distribute keys via join instead of broadcast")
     p.add_argument("--local-cores", type=int, default=0,
                    help="run on local[N] instead of the submitted master")
     args = p.parse_args(argv)
@@ -104,12 +114,28 @@ def main(argv=None) -> int:
         print(json.dumps(out))
         return 0
 
+    if args.command == "orphans":
+        import time as _time
+
+        from pi2spark.maintenance import remove_orphans
+
+        cutoff = int((_time.time() - args.older_than_hours * 3600) * 1000)
+        out.update(remove_orphans(t, older_than_ms=cutoff))
+        print(json.dumps(out))
+        return 0
+
     spark = _spark(args)
     from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
+    from pi2spark.errors import SchemaNotFoundError
     from pi2spark.registry import KeyRegistry
-    from pi2spark.spec import ProtectionSpec
+    from pi2spark.spec import ProtectionSpec, annotate_schema
 
-    spec = ProtectionSpec.for_source_files()
+    # the stored schema document is authoritative (A2/A3); the canonical
+    # source-files spec is the pre-first-ingest fallback
+    try:
+        spec = t.protection_spec()
+    except SchemaNotFoundError:
+        spec = ProtectionSpec.for_source_files()
     reg = KeyRegistry(registry_path)
 
     if args.command == "ingest":
@@ -118,6 +144,12 @@ def main(argv=None) -> int:
         plain = synthesize_source_files(spark, args.rows, seed=args.seed).cache()
         reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
         keys = broadcast_keys(spark, reg.key_map())
+        try:
+            t.protection_spec()
+        except SchemaNotFoundError:
+            t.set_protection(
+                annotate_schema(plain.schema, spec.subject_column, spec.pii_columns)
+            )
         snap = t.append(encrypt_table(plain, spec, keys), spark)
         out.update({"snapshot_id": snap.snapshot_id, "rows": snap.summary["total-rows"]})
     elif args.command == "compact":
@@ -131,7 +163,8 @@ def main(argv=None) -> int:
 
         r = cluster(t, spark, columns=tuple(args.cluster_columns.split(",")),
                     curve=args.curve, bits=args.bits,
-                    target_file_bytes=target, pass_id=args.pass_id)
+                    target_file_bytes=target, pass_id=args.pass_id,
+                    incremental=args.incremental)
         out.update(r.__dict__ | {"details": r.details})
     elif args.command == "shred":
         from pi2spark.maintenance import shred
@@ -148,10 +181,11 @@ def main(argv=None) -> int:
     elif args.command == "verify":
         from pi2spark.verify import content_digest
 
-        keys = broadcast_keys(spark, reg.key_map())
+        keys = reg.key_df(spark) if args.keyed else broadcast_keys(spark, reg.key_map())
         scan = decrypt_table(t.scan(spark), spec, keys)
         out["scan_digest"] = content_digest(scan)
         out["rows"] = int(out["scan_digest"].rsplit("-", 1)[1])
+        out["key_distribution"] = "join" if args.keyed else "broadcast"
 
     print(json.dumps(out, default=str))
     return 0

@@ -42,6 +42,23 @@ def test_cli_lifecycle(tmp_path, capsys, spark):
     assert v2["rows"] == 800
     assert v2["scan_digest"] != v1["scan_digest"]  # megarepo rows tombstoned
 
+    # keyed-join key distribution yields the identical digest
+    v2k = _run(capsys, "verify", *common, "--keyed")
+    assert v2k["scan_digest"] == v2["scan_digest"]
+    assert v2k["key_distribution"] == "join"
+
+    # incremental clustering: append more, recluster only the new files
+    r = _run(capsys, "ingest", *common, "--rows", "300", "--seed", "7")
+    r = _run(capsys, "cluster", *common, "--target-file-mb", "1", "--bits", "12",
+             "--incremental")
+    assert not r["skipped"]
+    v3 = _run(capsys, "verify", *common)
+    assert v3["rows"] == 1100
+
+    # orphan sweep (age-guarded; nothing young enough to delete)
+    r = _run(capsys, "orphans", *common, "--older-than-hours", "1")
+    assert r["deleted"] == 0
+
     s = _run(capsys, "status", *common)
     assert s["current_snapshot_id"] >= 4
 
