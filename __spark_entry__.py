@@ -379,6 +379,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
         return j.select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
 
+    def q_streaming_rollup(spark, sf_dir):
+        # The watermarked Structured-Streaming rollup, drained with
+        # availableNow into a memory sink. Value-identical to the batch
+        # events_hourly aggregation (same oracle): the streaming and
+        # batch paths share one operator definition.
+        from pi2spark.streaming import hourly_rollup_stream
+
+        ev = _load(spark, sf_dir, "events")
+        src = tempfile.mkdtemp(prefix="pi2spark-stream-src-")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+        )
+        sdf = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            hourly_rollup_stream(sdf)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("pi2spark_streaming_rollup")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.sql(
+            "SELECT CAST(hour AS TIMESTAMP_NTZ) AS hour, event_type, n, sum_value "
+            "FROM pi2spark_streaming_rollup"
+        )
+
     def q_events_hourly(spark, sf_dir):
         ev = _load(spark, sf_dir, "events")
         return (
@@ -495,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_consecutive": q_cosine_consecutive,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
+        "streaming_rollup": q_streaming_rollup,
         "top_events_window": q_top_events_window,
         "crypto_roundtrip": q_crypto_roundtrip,
         "maintenance_pipeline": q_maintenance_pipeline,
@@ -626,6 +654,11 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
         """,
         "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "streaming_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2

@@ -1,0 +1,123 @@
+"""Structured Streaming adapters: encrypt-on-write / decrypt-on-read
+for unbounded inputs.
+
+The reference's actual deployment surface IS streaming — Kafka
+producer/consumer interceptors (``KafkaGdprAwareProducerInterceptor
+.java:26-38``, ``KafkaGdprAwareConsumerInterceptor.java:28-61``)
+swapping PII record-at-a-time as messages flow. This module is the
+Structured Streaming re-expression:
+
+- ``encrypt_stream`` / ``decrypt_stream`` are the interceptor
+  analogues. The swap UDFs are **stateless projections**, so the exact
+  batch operators (``pi2spark.crypto``) apply unchanged to a streaming
+  DataFrame — one code path, both worlds (the core Spark-first win:
+  Catalyst doesn't care that the relation is unbounded).
+- ``append_stream`` is the producer-side sink: ``foreachBatch``
+  committing **one table snapshot per micro-batch**, idempotent across
+  restarts via the micro-batch id recorded in the snapshot summary
+  (the standard exactly-once recipe for non-transactional sinks: the
+  streaming checkpoint gives at-least-once batch replay; the batch-id
+  guard deduplicates replays).
+- ``hourly_rollup_stream`` shows the watermarked windowed aggregation
+  shape over the events table (late data bounded by the watermark;
+  state store sized by window × keys, not by stream length).
+
+Scale notes: encryption adds no state and no shuffle to a stream; the
+rollup's only shuffle is the windowed groupBy. Micro-batch size is the
+lever for file sizing — compaction (B3) repacks small streaming
+commits, which is exactly what it exists for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pi2spark.crypto import decrypt_table, encrypt_table
+from pi2spark.spec import ProtectionSpec
+from pi2spark.table import Table
+
+STREAM_BATCH_KEY = "streaming_batch_id"
+STREAM_QUERY_KEY = "streaming_query"
+
+
+def encrypt_stream(sdf: DataFrame, spec: ProtectionSpec, keys) -> DataFrame:
+    """Encrypt-swap on a streaming DataFrame (producer-interceptor
+    analogue, A12). Stateless — works identically to the batch path."""
+    return encrypt_table(sdf, spec, keys)
+
+
+def decrypt_stream(sdf: DataFrame, spec: ProtectionSpec, keys, strict: bool = False) -> DataFrame:
+    """Decrypt-swap on a streaming DataFrame (consumer-interceptor
+    analogue, A13); shredded subjects tombstone exactly as in batch."""
+    return decrypt_table(sdf, spec, keys, strict=strict)
+
+
+def last_committed_batch(table: Table, query_name: str) -> int:
+    """Highest micro-batch id already committed for a query (-1 if
+    none) — read from snapshot summaries, O(snapshot log)."""
+    last = -1
+    for s in table.snapshots():
+        summ = s.get("summary", {})
+        if summ.get(STREAM_QUERY_KEY) == query_name and STREAM_BATCH_KEY in summ:
+            last = max(last, int(summ[STREAM_BATCH_KEY]))
+    return last
+
+
+def append_stream(
+    sdf: DataFrame,
+    table: Table,
+    spec: ProtectionSpec,
+    keys,
+    checkpoint_dir: str,
+    query_name: str = "pi2spark-ingest",
+    trigger_available_now: bool = True,
+):
+    """Encrypt-on-write streaming sink: one snapshot commit per
+    micro-batch, exactly-once across restarts.
+
+    Returns the started ``StreamingQuery`` (call ``awaitTermination``).
+    The checkpoint gives replay-at-least-once on restart; replayed
+    batch ids ≤ the last committed id are skipped, so every batch
+    lands in the table exactly once."""
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed_batch(table, query_name):
+            return  # replayed micro-batch after restart — already committed
+        spark = batch_df.sparkSession
+        enc = encrypt_table(batch_df, spec, keys)
+        table.append(
+            enc, spark, summary={STREAM_QUERY_KEY: query_name, STREAM_BATCH_KEY: batch_id}
+        )
+
+    writer = (
+        sdf.writeStream.queryName(query_name)
+        .foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hourly_rollup_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked hourly rollup over a streaming events table — the
+    streaming twin of the ``events_hourly`` contract query. Late rows
+    beyond the watermark are dropped; state is bounded by
+    (open windows × event types)."""
+    # watermarks require TIMESTAMP (not NTZ) event time
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "sum_value")
+    )
