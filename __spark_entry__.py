@@ -406,6 +406,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "FROM pi2spark_streaming_rollup"
         )
 
+    def q_sessionize(spark, sf_dir):
+        # gap-based sessionization (partitioned windows, JVM-side);
+        # streaming twin: pi2spark.streaming.sessionize_stream
+        from pi2spark.streaming import sessionize
+
+        return sessionize(_load(spark, sf_dir, "events"), gap_minutes=30)
+
     def q_events_hourly(spark, sf_dir):
         ev = _load(spark, sf_dir, "events")
         return (
@@ -523,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "streaming_rollup": q_streaming_rollup,
+        "sessionize": q_sessionize,
         "top_events_window": q_top_events_window,
         "crypto_roundtrip": q_crypto_roundtrip,
         "maintenance_pipeline": q_maintenance_pipeline,
@@ -662,6 +670,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS f
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), seq AS (
+              SELECT user_id, ts, value,
+                     sum(f) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS s
+              FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM seq GROUP BY user_id, s
         """,
         "top_events_window": """
             SELECT event_type, user_id, total, rn FROM (

@@ -100,6 +100,107 @@ def append_stream(
     return writer.start()
 
 
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions separated by > ``gap_minutes`` of inactivity.
+
+    Pure partitioned window functions (lag → new-session flag →
+    running count with an explicit ROWS frame → groupBy), all
+    JVM-side; the window partitions on the user key so no
+    single-partition stage exists. This is the oracle-checkable twin
+    of ``sessionize_stream``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(ts_col).over(w).cast("timestamp").cast("long")
+    new_sess = prev.isNull() | ((secs - prev) > gap_minutes * 60)
+    seq = F.sum(new_sess.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("__seq", seq)
+        .groupBy(user_col, "__seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(user_col, "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+):
+    """Custom stateful streaming sessionization via
+    ``applyInPandasWithState`` — the operator Structured Streaming's
+    built-ins can't express (variable-length gap sessions with
+    arbitrary per-session aggregates).
+
+    Per-user state = the open session (start, last-seen, count, sum)
+    as epoch micros; a micro-batch's events extend or close it, and
+    CLOSED sessions are emitted in append mode. The final open session
+    per user stays in state until a later event (or stream end)
+    closes it — callers comparing against batch ``sessionize`` should
+    exclude each user's last session (``tests/test_streaming.py``).
+    State size is O(active users), not O(events)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{user_col} long, session_start timestamp_ntz, session_end timestamp_ntz, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, sv double"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _fn(key, pdf_iter, state):
+        user = key[0]
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = None
+            n, sv = 0, 0.0
+        closed = []
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(ts_col)
+        for ts, val in zip(rows[ts_col], rows[value_col]):
+            us = int(pd.Timestamp(ts).value // 1000)  # epoch micros
+            if last is not None and us - last > gap_us:
+                closed.append((user, start, last, n, round(sv, 4)))
+                start, n, sv = us, 0, 0.0
+            if start is None:
+                start = us
+            last = us
+            n += 1
+            sv += float(val)
+        state.update((start, last, n, sv))
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=[user_col, "session_start", "session_end", "n_events", "sum_value"]
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        _fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def hourly_rollup_stream(
     events: DataFrame,
     ts_col: str = "ts",

@@ -144,3 +144,54 @@ def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_sessionize_batch_shapes(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pi2spark.streaming import sessionize
+
+    sess = sessionize(events, gap_minutes=30)
+    rows = sess.collect()
+    assert len(rows) > events.select("user_id").distinct().count() * 0  # non-empty
+    # invariants: start <= end, event counts sum to total
+    assert all(r.session_start <= r.session_end for r in rows)
+    assert sum(r.n_events for r in rows) == events.count()
+    # no session contains an internal gap > 30 min: verified by
+    # construction (lag flag); spot-check max session span is sane
+    assert all((r.session_end - r.session_start).total_seconds() < 7 * 86400 for r in rows)
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
+    from pi2spark.streaming import sessionize, sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+
+    got_rows = []
+    q = (
+        sessionize_stream(sdf, gap_minutes=30)
+        .writeStream.foreachBatch(lambda b, _i: got_rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value) for r in got_rows}
+
+    batch = sessionize(events, gap_minutes=30).collect()
+    # streaming emits CLOSED sessions; each user's final session stays
+    # open in state — batch minus per-user-last must equal streaming
+    last_per_user = {}
+    for r in batch:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.session_start > cur.session_start:
+            last_per_user[r.user_id] = r
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in batch
+        if last_per_user[r.user_id] is not r
+    }
+    assert got == want
+    assert len(got) > 0
