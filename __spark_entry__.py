@@ -359,6 +359,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("jaccard") >= 0.8)
         )
 
+    def q_dedup_components(spark, sf_dir):
+        # keeper assignment: verified near-dup pairs → connected
+        # components (iterative min-label + pointer doubling) — the
+        # oracle replays it as a recursive-CTE transitive closure
+        from pi2spark.textops import connected_components
+
+        pairs = q_near_dup_verified(spark, sf_dir).select("doc_a", "doc_b")
+        return connected_components(pairs)
+
     def q_minhash_sigs_md5(spark, sf_dir):
         # Oracle-mirrorable MinHash signature math (see _minhash_md5_sql)
         docs = _load(spark, sf_dir, "documents")
@@ -525,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_verified": q_near_dup_verified,
+        "dedup_components": q_dedup_components,
         "minhash_sigs_md5": q_minhash_sigs_md5,
         "cosine_consecutive": q_cosine_consecutive,
         "ann_topk": q_ann_topk,
@@ -648,6 +658,27 @@ def oracle_sql() -> dict[str, str]:
                 ON a.doc_id < b.doc_id
                AND least(len(a.s), len(b.s)) * 1.0 / greatest(len(a.s), len(b.s)) >= 0.8
             ) t WHERE jaccard >= 0.8
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, {_SHINGLES["duck"]} AS s FROM documents),
+            np AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s)) * 1.0 /
+                       greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) AS j
+                FROM sh a JOIN sh b
+                  ON a.doc_id < b.doc_id
+                 AND least(len(a.s), len(b.s)) * 1.0 / greatest(len(a.s), len(b.s)) >= 0.8
+              ) t WHERE j >= 0.8),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+                      UNION SELECT doc_b, doc_a FROM np),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, m) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node)
+            SELECT node AS doc_id, min(m) AS component FROM reach GROUP BY node
         """,
         "minhash_sigs_md5": _minhash_md5_sql("duck", "documents"),
         "cosine_consecutive": """

@@ -357,6 +357,74 @@ def minhash_lsh_pairs(
     ).filter(F.col("est_jaccard") >= threshold)
 
 
+# -- connected components over near-dup pairs --------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_a, doc_b) near-dup edges → (doc_id, component) where
+    ``component`` is the minimum doc id reachable from the node — the
+    keeper-assignment step of a dedup pipeline (keep the component id,
+    drop the rest, or join quality scores to pick a better keeper).
+
+    Iterative min-label propagation with **pointer doubling**
+    (label ← label(label)) each round, so path-shaped components —
+    exactly what ``bucketed_pairs`` emits for degenerate buckets —
+    converge in O(log n) rounds, not O(n). Each round is two joins on
+    fixed-width ids; lineage is cut per round with localCheckpoint
+    (swap for ``checkpoint()`` + a checkpoint dir on a real cluster).
+    ``max_iter=25`` covers components of diameter 2^25."""
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .union(edges.select(F.col("d").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nl"))
+        )
+        prop = (
+            labels.join(nbr, labels["node"] == nbr["s"], "left")
+            .select(
+                labels["node"],
+                F.least(labels["label"], F.coalesce(nbr["nl"], labels["label"])).alias("label"),
+            )
+        )
+        x, y = prop.alias("x"), prop.alias("y")
+        jumped = (
+            x.join(y, F.col("x.label") == F.col("y.node"), "left")
+            .select(
+                F.col("x.node").alias("node"),
+                F.coalesce(F.col("y.label"), F.col("x.label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
 # -- SimHash ----------------------------------------------------------------
 
 

@@ -98,3 +98,14 @@ def test_minhash_band_shuffle_carries_no_signatures(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning(band" in line:
             assert "sig" not in line, line
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from pi2spark.textops import connected_components
+
+    pairs = [(i, i + 1) for i in range(150)] + [(900, 901), (901, 902), (900, 902)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out = {(r.doc_id, r.component) for r in connected_components(df).collect()}
+    assert all(c == 0 for n, c in out if n <= 150)
+    assert all(c == 900 for n, c in out if n >= 900)
+    assert len(out) == 151 + 3
