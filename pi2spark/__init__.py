@@ -14,32 +14,46 @@ A from-scratch Spark DataFrame engine (NOT a port) providing:
   erasure, reference-counted snapshot expiry, and checkpoint-resumable
   maintenance passes (``pi2spark.table`` / ``pi2spark.maintenance``),
 - training-data-pipeline operators over document/embedding tables:
-  dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
-  search, text analysis (``pi2spark.textops`` / ``pi2spark.vectorops``).
+  dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / connected
+  components), similarity search, text analysis
+  (``pi2spark.textops`` / ``pi2spark.vectorops``),
+- Structured Streaming adapters: encrypt-on-write micro-batch sink
+  (exactly-once), watermarked rollups, stateful sessionization
+  (``pi2spark.streaming``).
 """
 
 from pi2spark.errors import (
+    ConcurrentCommitError,
+    EncryptionTargetFieldNotFoundError,
     InvalidEncryptedMessageError,
     MissingCryptoMaterialsError,
+    SchemaNotFoundError,
     SubjectIdentifierNotFoundError,
     SubjectIdentifierRetrievalError,
     TooManyEncryptionTargetFieldsError,
     TooManySubjectIdentifiersError,
+    UnconfiguredError,
     UnsupportedEncryptedFieldFormatError,
     UnsupportedPersonalDataFieldFormatError,
 )
-from pi2spark.spec import ProtectionSpec
+from pi2spark.spec import ProtectionSpec, annotate_schema, find_envelope_field
 
 __all__ = [
     "ProtectionSpec",
+    "annotate_schema",
+    "find_envelope_field",
+    "SchemaNotFoundError",
     "SubjectIdentifierNotFoundError",
     "TooManySubjectIdentifiersError",
     "SubjectIdentifierRetrievalError",
+    "EncryptionTargetFieldNotFoundError",
     "TooManyEncryptionTargetFieldsError",
     "UnsupportedPersonalDataFieldFormatError",
     "UnsupportedEncryptedFieldFormatError",
     "InvalidEncryptedMessageError",
     "MissingCryptoMaterialsError",
+    "UnconfiguredError",
+    "ConcurrentCommitError",
 ]
 
 __version__ = "0.1.0"
