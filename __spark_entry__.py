@@ -511,6 +511,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = emb.filter(F.col("vec_id") == 0).first().embedding
         return lsh_topk(emb, qvec, k=10, n_planes=8)
 
+    def q_ivf_ann(spark, sf_dir):
+        # IVF approximate top-k (sample-trained coarse quantizer +
+        # n_probe inverted lists + exact rerank). Rows-only: k-means
+        # training is not SQL-expressible; recall is gated against
+        # brute_force_topk in tests/test_vectorops.py.
+        from pi2spark.vectorops import ivf_topk, train_ivf_centroids
+
+        emb = _load(spark, sf_dir, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+        cents = train_ivf_centroids(emb, n_centroids=16, sample_rows=1000, seed=42)
+        return ivf_topk(emb, qvec, cents, k=10, n_probe=8)
+
     def q_media_features(spark, sf_dir):
         from pi2spark.multimodal import extract_media_features, synthesize_media
 
@@ -547,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
     }
 

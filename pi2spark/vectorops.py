@@ -116,6 +116,80 @@ def lsh_topk(
     return brute_force_topk(cand.drop("__bucket"), q, k, vec_col, id_col)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 64,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means over a bounded driver-side
+    sample (numpy Lloyd iterations, deterministic seed). Driver cost is
+    O(sample × dim × iters) regardless of table size — the classic
+    IVF recipe (train on a sample, assign everything).
+
+    Returns the (n_centroids, dim) float64 centroid matrix; broadcast
+    it (it is a few hundred KB) and hand it to ``ivf_assign`` /
+    ``ivf_topk``."""
+    frac_df = df.select(vec_col)
+    pdf = frac_df.limit(sample_rows).toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        # assign sample to nearest centroid (squared L2), recompute means
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def make_ivf_assign_udf(centroids: np.ndarray):
+    """embedding → nearest-centroid id (vectorized squared-L2 argmin
+    per Arrow batch). ``centroids`` rides the UDF closure — a small
+    dense matrix, the same thing Spark would broadcast."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        scores = mat @ cents.T - 0.5 * (cents * cents).sum(axis=1)[None, :]
+        return pd.Series(scores.argmax(axis=1).astype(np.int64))
+
+    return pandas_udf(T.LongType())(_assign)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: restrict the exact cosine rerank to the
+    ``n_probe`` inverted lists nearest the query. At scale the
+    assignment column is materialized once (or the table is
+    partitioned by it) and a query touches n_probe/n_centroids of the
+    data; recall is tuned by n_probe with ``brute_force_topk`` as the
+    exactness gate."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:n_probe]]
+    assign = make_ivf_assign_udf(centroids)
+    cand = df.withColumn("__list", assign(F.col(vec_col))).filter(
+        F.col("__list").isin(probes)
+    )
+    return brute_force_topk(cand.drop("__list"), q, k, vec_col, id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

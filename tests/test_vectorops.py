@@ -50,3 +50,33 @@ def test_embedding_near_dup_pairs(spark, emb):
     pairs = {(r.doc_a, r.doc_b): r.cosine for r in embedding_near_dup_pairs(df, threshold=0.999).collect()}
     assert (1, 9001) in pairs
     assert all(c >= 0.999 for c in pairs.values())
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from pi2spark.vectorops import brute_force_topk, ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = emb.filter("vec_id = 0").first().embedding
+    cents = train_ivf_centroids(emb, n_centroids=16, sample_rows=500, seed=42)
+    assert cents.shape[1] == len(qvec)
+
+    exact = [r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(emb, qvec, cents, k=10, n_probe=8).collect()]
+    # recall gate: probing half the lists must recover most of the
+    # exact top-10 (and always the query vector itself)
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 7, (exact, approx)
+    assert 0 in approx
+
+
+def test_ivf_assignment_deterministic(spark):
+    from pi2spark.vectorops import make_ivf_assign_udf, train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, sample_rows=300, seed=7)
+    udf = make_ivf_assign_udf(cents)
+    a1 = {(r.vec_id, r.l) for r in emb.select("vec_id", udf("embedding").alias("l")).collect()}
+    a2 = {(r.vec_id, r.l) for r in emb.select("vec_id", udf("embedding").alias("l")).collect()}
+    assert a1 == a2
+    # every list non-degenerate on this data: at least 2 lists used
+    assert len({l for _i, l in a1}) >= 2
