@@ -440,17 +440,23 @@ class Table:
     # -- atomic commit (B6) --
 
     def _write_version(self, version: int, meta: dict) -> None:
-        """Atomic metadata swap: temp-write + rename of v{N}.json, then
-        of version-hint.text. rename(2) atomicity is the commit point;
-        an existing v{N}.json means another writer won (optimistic
-        concurrency, single-writer deployments never hit it)."""
+        """Atomic metadata swap: temp-write + **hard-link** of
+        v{N}.json (link(2) fails with EEXIST if the version exists —
+        an atomic create-if-absent, unlike check-then-rename, which
+        lets two racing writers both pass the check and the second
+        rename silently clobber the first), then rename of
+        version-hint.text. An existing v{N}.json means another writer
+        won (optimistic concurrency)."""
         vpath = os.path.join(self._meta_dir, f"v{version}.json")
-        if os.path.exists(vpath):
-            raise ConcurrentCommitError(f"version {version} already committed")
         tmp = vpath + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh)
-        os.rename(tmp, vpath)
+        try:
+            os.link(tmp, vpath)
+        except FileExistsError:
+            raise ConcurrentCommitError(f"version {version} already committed") from None
+        finally:
+            os.remove(tmp)
         hint = os.path.join(self._meta_dir, "version-hint.text")
         htmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(htmp, "w", encoding="utf-8") as fh:
@@ -522,6 +528,32 @@ class Table:
                     pass
             raise
         return self.snapshot(sid)
+
+    def commit_with_retry(
+        self,
+        operation: str,
+        added: Sequence[DataFile],
+        removed_paths: Iterable[str] = (),
+        summary: dict | None = None,
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Optimistic-concurrency commit loop: on losing a version race,
+        re-read the (now newer) table state and re-apply this commit's
+        delta on top — valid whenever the commit's file delta is still
+        applicable (its removed files must still be live, which holds
+        for disjoint maintenance passes, e.g. compaction groups vs an
+        append). A delta made inapplicable by the winner (another pass
+        rewrote our inputs) surfaces as the underlying error after one
+        re-read; passes should then re-plan from the fresh snapshot."""
+        removed = list(removed_paths)
+        last: Exception | None = None
+        for attempt in range(max_retries + 1):
+            try:
+                return self.commit(operation, added=added, removed_paths=removed, summary=summary)
+            except ConcurrentCommitError as e:
+                last = e
+                time.sleep(0.05 * attempt)
+        raise last  # type: ignore[misc]
 
     def _commit_single(
         self, meta, parent_id, sid, added, removed, new_meta_files

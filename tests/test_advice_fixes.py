@@ -200,3 +200,45 @@ def test_shred_null_stored_flags_become_true_on_hit(spark, tmp_path):
     # bob NULL flag survives as NULL (no hit -> untouched semantics: NULL|false = NULL -> coalesced base keeps false)
     bobs = [r for r in t.scan(spark).collect() if r.repo == "bob"]
     assert all(r.content_enc is not None for r in bobs)
+
+
+def test_commit_with_retry_reapplies_on_race(tmp_path):
+    root = str(tmp_path / "tbl")
+    t1 = Table.create(root)
+    t1.commit("append", added=[_df("data/a.parquet")])
+
+    t2 = Table(root)
+    real = t2.current_version
+    stale = real()
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real()
+
+    winner = t1.commit("append", added=[_df("data/b.parquet")])
+    t2.current_version = flaky  # first read is stale -> version race
+    snap = t2.commit_with_retry("append", added=[_df("data/c.parquet")])
+    assert snap.snapshot_id == winner.snapshot_id + 1
+    assert {f.path for f in t1.snapshot().files} == {
+        "data/a.parquet", "data/b.parquet", "data/c.parquet"
+    }
+
+
+def test_commit_with_retry_concurrent_threads(tmp_path):
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "tbl")
+    t = Table.create(root)
+    t.commit("append", added=[_df("data/seed.parquet")])
+
+    def append_one(i):
+        return Table(root).commit_with_retry(
+            "append", added=[_df(f"data/t{i}.parquet")], max_retries=20
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        snaps = list(ex.map(append_one, range(4)))
+    paths = {f.path for f in Table(root).snapshot().files}
+    assert paths == {"data/seed.parquet"} | {f"data/t{i}.parquet" for i in range(4)}
+    assert len({s.snapshot_id for s in snaps}) == 4
