@@ -168,6 +168,28 @@ _SHINGLE_HASH = {
 }
 
 
+def _simhash_md5_sql(dialect: str, table: str) -> str:
+    """16-bit SimHash over md5-hashed whitespace tokens — the bit-voting
+    construction itself, mirrored in both engines (the production
+    64-bit path in pi2spark.textops uses faster pandas hashing)."""
+    if dialect == "spark":
+        xform, flt, ln = "transform", "filter", "size"
+        split = r"split(trim(lower(text)), '\\s+')"
+    else:
+        xform, flt, ln = "list_transform", "list_filter", "len"
+        split = r"string_split_regex(trim(lower(text)), '\s+')"
+    bits = " + ".join(
+        f"(CASE WHEN 2 * {ln}({flt}(hs, h -> (h >> {b}) & 1 = 1)) > {ln}(hs) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM (
+          SELECT doc_id, {xform}({split}, g -> {_SHINGLE_HASH[dialect]}) AS hs
+          FROM {table}) t
+    """
+
+
 def _minhash_md5_sql(dialect: str, table: str) -> str:
     xform, amin = (
         ("transform", "array_min") if dialect == "spark" else ("list_transform", "list_min")
@@ -374,6 +396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs.createOrReplaceTempView("documents_mh")
         return spark.sql(_minhash_md5_sql("spark", "documents_mh"))
 
+    def q_simhash_sigs_md5(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents")
+        docs.createOrReplaceTempView("documents_sh")
+        return spark.sql(_simhash_md5_sql("spark", "documents_sh"))
+
     def q_cosine_consecutive(spark, sf_dir):
         # exact-cosine verification form over the embeddings table
         # (the all-pairs scale path goes through LSH buckets)
@@ -548,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_verified": q_near_dup_verified,
         "dedup_components": q_dedup_components,
         "minhash_sigs_md5": q_minhash_sigs_md5,
+        "simhash_sigs_md5": q_simhash_sigs_md5,
         "cosine_consecutive": q_cosine_consecutive,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
@@ -694,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(m) AS component FROM reach GROUP BY node
         """,
         "minhash_sigs_md5": _minhash_md5_sql("duck", "documents"),
+        "simhash_sigs_md5": _simhash_md5_sql("duck", "documents"),
         "cosine_consecutive": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
