@@ -3,33 +3,43 @@ snapshot expiry (SURVEY.md §2 B3/B4/B7/B8/B9/B10).
 
 Execution model
 ---------------
-Compaction and shred run as **concurrent per-group Spark jobs** from a
-driver thread pool — the same strategy as Iceberg's RewriteDataFiles
-(``max-concurrent-file-group-rewrites``): each group reads only its own
-input files and writes its own output, so there is **no shuffle at
-all**; ciphertext moves opaquely (crypto is NOT re-run — the envelope
-column is just bytes to these passes). Z-order is the only pass with a
-shuffle, and it is a single range-repartition on the cluster key with
-a tiebreaker column so mega-repo ties split across partitions
-(AQE-aware range partitioning, BASELINE.json:north_star).
+Compaction and shred rewrite their file groups in **waves**: one wave
+= ONE Spark job whose plan is a union of per-group single-partition
+branches (each branch scans only its group's input files and
+``coalesce(1)``s them — a narrow dependency), so the job runs one
+task per group with **no shuffle at all**; ciphertext moves opaquely
+(crypto is NOT re-run — the envelope column is just bytes to these
+passes). Union partition *i* is exactly group *i*, so the writer's
+``part-{i:05d}`` output files map back to their rewrite group by
+index. This replaces round-2's one-Spark-job-per-group thread pool,
+whose fixed ~0.3 s/job driver cost put a parallelism-independent
+floor under the pass (measured 2→8-core efficiency 0.37) — a wave
+amortizes that driver cost over ``wave_groups`` groups, and the
+per-task work is what scales with executors. Z-order is the only
+pass with a shuffle, and it is a single range-repartition on the
+cluster key with a tiebreaker column so mega-repo ties split across
+partitions (AQE-aware range partitioning, BASELINE.json:north_star).
 
 Every pass takes a ``pass_id`` and writes a ``PassLedger`` (B10):
-killed mid-pass → rerun with the same id skips completed groups and
+killed mid-pass → rerun with the same id skips completed waves and
 commits exactly the same snapshot content.
 
 Scale notes (10^12-file ambition): group planning is a driver-side
 first-fit-decreasing over manifest entries — O(n log n) in *file
 count of one snapshot*, the same planning cost Iceberg pays; the
-data plane is fully distributed and shuffle-free.
+data plane is fully distributed and shuffle-free. ``wave_groups``
+(default 512) bounds the union plan width — Catalyst analysis is
+O(branches), so a 10^5-group backlog runs as ~200 jobs, not 10^5.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import time
 import uuid
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,7 +49,9 @@ from pi2spark.table import ColumnPredicate, DataFile, Table, collect_data_files
 from pi2spark.zorder import column_boundaries, with_cluster_key
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
-DEFAULT_CONCURRENCY = 8
+DEFAULT_CONCURRENCY = 8  # legacy knob, kept for CLI compat (wave mode ignores it)
+DEFAULT_WAVE_GROUPS = 512  # rewrite groups per Spark job (union plan width)
+_PART_RE = re.compile(r"part-(\d+)-")
 
 
 @dataclass
@@ -57,6 +69,90 @@ class PassResult:
 
 def _new_pass_id(prefix: str) -> str:
     return f"{prefix}-{uuid.uuid4().hex[:10]}"
+
+
+def _rewrite_groups_in_waves(
+    table: Table,
+    spark: SparkSession,
+    ledger,
+    groups: list[list[DataFile]],
+    tag: str,
+    transform=None,
+    sort_col: str | None = None,
+    wave_groups: int = DEFAULT_WAVE_GROUPS,
+) -> list[dict]:
+    """Rewrite file groups, one Spark job per wave of ``wave_groups``
+    groups (see module docstring). Each group becomes one branch of a
+    union plan: ``scan(group files) → coalesce(1) [→ transform]
+    [→ sortWithinPartitions(sort_col)]`` — all narrow, so the job is
+    one task per group and zero shuffles. ``transform`` (e.g. the shred
+    tombstone projection) is applied per branch BEFORE the union so its
+    broadcast join stays narrow; union partition order maps the
+    writer's ``part-{i:05d}`` files back to group *i*.
+
+    Resume granularity is the wave: the ledger records one task per
+    wave with every group's inputs/outputs, and a rerun with the same
+    pass_id skips completed waves. Output-file stats are collected once
+    per wave over ALL outputs (distributed via ``collect_data_files``
+    above its threshold), not per group."""
+    stat_cols = table.stats_columns()
+    bloom_cols = table.bloom_columns()
+    # one schema read up front; branches then skip per-read inference
+    first = os.path.join(table.root, groups[0][0].path)
+    schema = spark.read.parquet(first).schema
+    sort_ok = sort_col is not None and sort_col in [f.name for f in schema.fields]
+
+    results: list[dict] = []
+    for w, start in enumerate(range(0, len(groups), wave_groups)):
+        wave = groups[start : start + wave_groups]
+        task_id = f"wave-{w:05d}"
+        prior = ledger.task_result(task_id)
+        if prior:
+            results.extend(prior["groups"])
+            continue
+        s = time.time()
+        rel_dir, abs_dir = table.new_data_dir(f"{tag}-w{w:05d}")
+
+        def branch(group: list[DataFile]) -> DataFrame:
+            paths = [os.path.join(table.root, f.path) for f in group]
+            df = spark.read.schema(schema).parquet(*paths).coalesce(1)
+            if transform is not None:
+                df = transform(df)
+            if sort_ok:
+                df = df.sortWithinPartitions(sort_col)
+            return df
+
+        body = reduce(DataFrame.unionByName, (branch(g) for g in wave))
+        body.write.mode("overwrite").parquet(abs_dir)
+
+        by_idx: dict[int, list[str]] = {}
+        for name in sorted(os.listdir(abs_dir)):
+            m = _PART_RE.match(name)
+            if m and name.endswith(".parquet"):
+                by_idx.setdefault(int(m.group(1)), []).append(os.path.join(rel_dir, name))
+        all_rels = [p for idx in sorted(by_idx) for p in by_idx[idx]]
+        added = collect_data_files(
+            table.root, all_rels, stat_cols, spark=spark, bloom_cols=bloom_cols
+        )
+        by_path = {a.path: a for a in added}
+        wave_results = []
+        for i, group in enumerate(wave):
+            outs = [by_path[p] for p in by_idx.get(i, [])]
+            wave_results.append(
+                {
+                    "inputs": [f.path for f in group],
+                    "outputs": [a.to_json() for a in outs],
+                    "rows": sum(a.rows for a in outs),
+                    "bytes_in": sum(f.bytes for f in group),
+                }
+            )
+        ledger.record_task(
+            task_id,
+            {"groups": wave_results},
+            metrics={"seconds": time.time() - s, "n_groups": len(wave)},
+        )
+        results.extend(wave_results)
+    return results
 
 
 # ---------------------------------------------------------------------------
@@ -92,12 +188,13 @@ def compact(
     table: Table,
     spark: SparkSession,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
-    concurrency: int = DEFAULT_CONCURRENCY,
+    concurrency: int = DEFAULT_CONCURRENCY,  # noqa: ARG001 — legacy, wave mode
     pass_id: str | None = None,
+    wave_groups: int = DEFAULT_WAVE_GROUPS,
 ) -> PassResult:
     """Rewrite groups of small files into ~target-size files. No
-    shuffle, no crypto: each group is read and coalesced to one output
-    file by its own job; ciphertext is opaque payload."""
+    shuffle, no crypto: one Spark job per wave, one task per group,
+    ciphertext is opaque payload (see ``_rewrite_groups_in_waves``)."""
     t0 = time.time()
     pass_id = pass_id or _new_pass_id("compact")
     ledger = PassLedger(table.root, pass_id)
@@ -109,37 +206,9 @@ def compact(
     if not bins:
         return PassResult("compact", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
 
-    rel_dir, abs_dir = table.new_data_dir(f"compact-{pass_id}")
-    stat_cols = table.stats_columns()
-    bloom_cols = table.bloom_columns()
-
-    def run_bin(i: int, bin_files: list[DataFile]) -> dict:
-        task_id = f"bin-{i:05d}"
-        prior = ledger.task_result(task_id)
-        if prior:
-            return prior
-        s = time.time()
-        paths = [os.path.join(table.root, f.path) for f in bin_files]
-        out_abs = os.path.join(abs_dir, task_id)
-        spark.read.parquet(*paths).coalesce(1).write.mode("overwrite").parquet(out_abs)
-        rels = [
-            os.path.join(rel_dir, task_id, n)
-            for n in sorted(os.listdir(out_abs))
-            if n.endswith(".parquet")
-        ]
-        added = collect_data_files(table.root, rels, stat_cols, bloom_cols=bloom_cols)
-        result = {
-            "inputs": [f.path for f in bin_files],
-            "outputs": [a.to_json() for a in added],
-            "rows": sum(a.rows for a in added),
-            "bytes_in": sum(f.bytes for f in bin_files),
-        }
-        ledger.record_task(task_id, result, metrics={"seconds": time.time() - s})
-        return result
-
-    with ThreadPoolExecutor(max_workers=concurrency) as ex:
-        results = list(ex.map(lambda ib: run_bin(*ib), enumerate(bins)))
-
+    results = _rewrite_groups_in_waves(
+        table, spark, ledger, bins, f"compact-{pass_id}", wave_groups=wave_groups
+    )
     removed = [p for r in results for p in r["inputs"]]
     added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
     new_snap = table.commit(
@@ -282,19 +351,21 @@ def shred(
     subjects,
     subject_column: str = "repo",
     envelope_columns=("content_enc",),
-    concurrency: int = DEFAULT_CONCURRENCY,
+    concurrency: int = DEFAULT_CONCURRENCY,  # noqa: ARG001 — legacy, wave mode
     pass_id: str | None = None,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    wave_groups: int = DEFAULT_WAVE_GROUPS,
 ) -> PassResult:
     """MERGE-INTO-style erasure: rewrite **only** the data files whose
     stats may contain a forgotten subject, tombstoning that subject's
     rows (envelope → NULL, shredded → true). All other files are
     untouched manifest entries. Affected files are bin-packed into
-    ~target-size rewrite groups (one concurrent job each — per-file
-    jobs would pay one fixed job overhead per file). The caller must
-    already have FORGOTTEN the subject's key (``KeyRegistry.forget``)
-    — key deletion is what makes the ciphertext unrecoverable; this
-    pass removes the bytes."""
+    ~target-size rewrite groups, rewritten one task per group inside
+    one Spark job per wave (``_rewrite_groups_in_waves`` — per-group
+    jobs would pay one fixed driver-job overhead per group). The caller
+    must already have FORGOTTEN the subject's key
+    (``KeyRegistry.forget``) — key deletion is what makes the
+    ciphertext unrecoverable; this pass removes the bytes."""
     t0 = time.time()
     subjects = sorted(set(subjects))
     pass_id = pass_id or _new_pass_id("shred")
@@ -310,9 +381,6 @@ def shred(
     if not affected:
         return PassResult("shred", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
 
-    rel_dir, abs_dir = table.new_data_dir(f"shred-{pass_id}")
-    stat_cols = table.stats_columns()
-    bloom_cols = table.bloom_columns()
     forget_df = spark.createDataFrame(
         [(s,) for s in subjects], f"{subject_column} string"
     ).withColumn("__forget", F.lit(True))
@@ -340,39 +408,21 @@ def shred(
     packed = {f.path for g in groups for f in g}
     groups += [[f] for f in affected if f.path not in packed]
 
-    def run_group(i: int, group: list[DataFile]) -> dict:
-        task_id = f"group-{i:05d}"
-        prior = ledger.task_result(task_id)
-        if prior:
-            return prior
-        s = time.time()
-        out_abs = os.path.join(abs_dir, task_id)
-        src = spark.read.parquet(*[os.path.join(table.root, f.path) for f in group])
-        # coalesce first, then restore key order inside the single
-        # output partition if the table is clustered (coalesce after a
-        # sort would concatenate, not merge)
-        body = tombstone(src).coalesce(1)
-        if "zkey" in src.columns:
-            body = body.sortWithinPartitions("zkey")
-        body.write.mode("overwrite").parquet(out_abs)
-        rels = [
-            os.path.join(rel_dir, task_id, n)
-            for n in sorted(os.listdir(out_abs))
-            if n.endswith(".parquet")
-        ]
-        added = collect_data_files(table.root, rels, stat_cols, bloom_cols=bloom_cols)
-        result = {
-            "inputs": [f.path for f in group],
-            "outputs": [a.to_json() for a in added],
-            "rows": sum(a.rows for a in added),
-            "bytes_in": sum(f.bytes for f in group),
-        }
-        ledger.record_task(task_id, result, metrics={"seconds": time.time() - s})
-        return result
-
-    with ThreadPoolExecutor(max_workers=concurrency) as ex:
-        results = list(ex.map(lambda ix: run_group(*ix), enumerate(groups)))
-
+    # coalesce(1) happens inside the wave branch, then the tombstone
+    # projection (broadcast join — narrow), then sortWithinPartitions
+    # restores key order inside the single output partition when the
+    # table is clustered (coalesce after a sort would concatenate,
+    # not merge — so the helper sorts after the transform).
+    results = _rewrite_groups_in_waves(
+        table,
+        spark,
+        ledger,
+        groups,
+        f"shred-{pass_id}",
+        transform=tombstone,
+        sort_col="zkey",
+        wave_groups=wave_groups,
+    )
     removed = [p for r in results for p in r["inputs"]]
     added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
     new_snap = table.commit(

@@ -155,8 +155,10 @@ def test_expire_deletes_unreferenced_files(spark, loaded):
 
 
 def test_compaction_resume_after_partial_failure(spark, loaded, monkeypatch):
-    """Kill compaction after k of n bins; rerun with same pass_id
-    completes the rest; scan digest identical (FIXTURES.md §4 case 7)."""
+    """Kill compaction after wave 1 of n; rerun with same pass_id skips
+    the completed wave, finishes the rest; scan digest identical
+    (FIXTURES.md §4 case 7). wave_groups=2 forces multiple waves at
+    this file count (resume granularity is the wave)."""
     t, reg, keys, baseline = loaded
     import pi2spark.maintenance as M
 
@@ -171,12 +173,12 @@ def test_compaction_resume_after_partial_failure(spark, loaded, monkeypatch):
 
     monkeypatch.setattr(M, "collect_data_files", flaky)
     with pytest.raises(RuntimeError):
-        compact(t, spark, target_file_bytes=300 * 1024, concurrency=1, pass_id="compact-resume-test")
+        compact(t, spark, target_file_bytes=300 * 1024, wave_groups=2, pass_id="compact-resume-test")
     monkeypatch.setattr(M, "collect_data_files", orig)
 
     # no commit happened: table still at snapshot 1
     assert t.current_snapshot_id() == 1
-    res = compact(t, spark, target_file_bytes=300 * 1024, concurrency=1, pass_id="compact-resume-test")
+    res = compact(t, spark, target_file_bytes=300 * 1024, wave_groups=2, pass_id="compact-resume-test")
     assert not res.skipped
     assert _digest(t, spark, keys) == baseline
     # rerun after commit is a no-op
