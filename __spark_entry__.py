@@ -293,21 +293,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # B4 correctness surface: rank bucketing + bit interleave (the
         # production path uses sample-based boundaries; this exact
         # variant is what an external engine can mirror).
-        # Ranks come from a tiny distinct-values relation joined back
-        # (rank = count of strictly-smaller distinct values ==
-        # dense_rank - 1) — a broadcast join over ~10 rows instead of a
-        # global window that would single-partition the whole table.
+        # Ranks come from posexplode(sort_array(collect_set(col))):
+        # the distinct values reduce through a partial (map-side)
+        # aggregate to ONE tiny array whose position IS the dense rank
+        # − 1. No window over the table, and no O(k²)
+        # count-of-smaller self-join (round 2's formulation — a
+        # BroadcastNestedLoopJoin quadratic in distinct values). The
+        # k-row rank relations then broadcast-join back onto the table.
         docs = _load(spark, sf_dir, "documents")
         docs.createOrReplaceTempView("documents_z")
         expr = _morton_sql("r1", "r2", "r3", 8, _SPARK_SHIFT)
         return spark.sql(
             f"""
-            WITH s AS (SELECT DISTINCT source FROM documents_z),
-                 sr AS (SELECT a.source AS source, CAST(count(b.source) AS BIGINT) AS r1
-                        FROM s a LEFT JOIN s b ON b.source < a.source GROUP BY a.source),
-                 l AS (SELECT DISTINCT lang FROM documents_z),
-                 lr AS (SELECT a.lang AS lang, CAST(count(b.lang) AS BIGINT) AS r2
-                        FROM l a LEFT JOIN l b ON b.lang < a.lang GROUP BY a.lang)
+            WITH sarr AS (SELECT sort_array(collect_set(source)) AS arr FROM documents_z),
+                 sr AS (SELECT CAST(pos AS BIGINT) AS r1, val AS source
+                        FROM sarr LATERAL VIEW posexplode(arr) t AS pos, val),
+                 larr AS (SELECT sort_array(collect_set(lang)) AS arr FROM documents_z),
+                 lr AS (SELECT CAST(pos AS BIGINT) AS r2, val AS lang
+                        FROM larr LATERAL VIEW posexplode(arr) t AS pos, val)
             SELECT doc_id, CAST({expr} AS BIGINT) AS zkey FROM (
               SELECT d.doc_id, sr.r1, lr.r2, CAST(d.doc_id % 256 AS BIGINT) AS r3
               FROM documents_z d
@@ -634,12 +637,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM (VALUES ('src1'), ('src7')) f(source) WHERE f.source = d.source)
         """,
         "zorder_morton": f"""
-            WITH s AS (SELECT DISTINCT source FROM documents),
-                 sr AS (SELECT a.source AS source, CAST(count(b.source) AS BIGINT) AS r1
-                        FROM s a LEFT JOIN s b ON b.source < a.source GROUP BY a.source),
-                 l AS (SELECT DISTINCT lang FROM documents),
-                 lr AS (SELECT a.lang AS lang, CAST(count(b.lang) AS BIGINT) AS r2
-                        FROM l a LEFT JOIN l b ON b.lang < a.lang GROUP BY a.lang)
+            WITH sr AS (SELECT source, CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS r1
+                        FROM (SELECT DISTINCT source FROM documents) s),
+                 lr AS (SELECT lang, CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT) AS r2
+                        FROM (SELECT DISTINCT lang FROM documents) l)
             SELECT doc_id, CAST({morton} AS BIGINT) AS zkey FROM (
               SELECT d.doc_id, sr.r1, lr.r2, CAST(d.doc_id % 256 AS BIGINT) AS r3
               FROM documents d

@@ -61,10 +61,22 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
+# queries where a BroadcastNestedLoopJoin is an acceptable strategy
+# (broadcast anti-join against a literal VALUES relation)
+BNLJ_OK = {"merge_anti_join"}
+
+
 def audit(name: str, plan: str) -> list[str]:
     problems = []
     if "BatchEvalPython" in plan:
         problems.append("row-at-a-time Python UDF in plan")
+    # nested-loop joins are quadratic in their inputs — only tolerable
+    # against tiny literal relations (round-2 regression: zorder_morton
+    # ranked via an O(k²) count-of-smaller BNLJ self-join)
+    if name not in BNLJ_OK and (
+        "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    ):
+        problems.append("nested-loop/cartesian join in plan")
     # broadcast expectation for the known dimension join
     if name == "revenue_by_nation" and "BroadcastHashJoin" not in plan:
         problems.append("dimension join did not broadcast")
