@@ -28,6 +28,15 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Plan-audit escape hatch: minhash_lsh_pairs eagerly materializes its
+# result (localCheckpoint) so it can release its signature cache before
+# returning — which collapses the lazy plan to an RDD scan. The explain
+# audit (tools/explain_audit.py) sets this env var to keep the full
+# lazy plan visible (identical plan shape; only the persist/checkpoint
+# wrapper differs).
+def _persist_sigs() -> bool:
+    return not os.environ.get("SPARK_GRAFT_LAZY_PLANS")
+
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -372,7 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id"),
             F.expr(_SHINGLES["spark"]).alias("s"),
         )
-        cand = minhash_lsh_pairs(docs, threshold=0.0).select("doc_a", "doc_b")
+        cand = minhash_lsh_pairs(docs, threshold=0.0, persist_sigs=_persist_sigs()).select(
+            "doc_a", "doc_b"
+        )
         a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), F.size("s").alias("na"))
         b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.size("s").alias("nb"))
         inter = F.size(F.array_intersect("sa", "sb")).cast("double")
@@ -392,6 +403,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         pairs = q_near_dup_verified(spark, sf_dir).select("doc_a", "doc_b")
         return connected_components(pairs)
+
+    def q_dedup_keep_best(spark, sf_dir):
+        # the dedup pipeline's final step: per near-dup component, keep
+        # the highest-quality doc (ties → min id) — components ×
+        # quality argmax, pure aggregation (map-side combinable)
+        from pi2spark.textops import dedup_keep_best
+
+        comps = q_dedup_components(spark, sf_dir)
+        qual = quality_scores(_load(spark, sf_dir, "documents"))
+        return dedup_keep_best(comps, qual)
 
     def q_minhash_sigs_md5(spark, sf_dir):
         # Oracle-mirrorable MinHash signature math (see _minhash_md5_sql)
@@ -528,7 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_minhash_dedup(spark, sf_dir):
         return minhash_lsh_pairs(
-            _load(spark, sf_dir, "documents"), threshold=0.8
+            _load(spark, sf_dir, "documents"), threshold=0.8, persist_sigs=_persist_sigs()
         ).orderBy("doc_a", "doc_b")
 
     def q_simhash_dedup(spark, sf_dir):
@@ -577,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_verified": q_near_dup_verified,
         "dedup_components": q_dedup_components,
+        "dedup_keep_best": q_dedup_keep_best,
         "minhash_sigs_md5": q_minhash_sigs_md5,
         "simhash_sigs_md5": q_simhash_sigs_md5,
         "cosine_consecutive": q_cosine_consecutive,
@@ -603,6 +625,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     morton = _morton_sql("r1", "r2", "r3", 8, _DUCK_SHIFT)
     langid = _langid_case(_DUCK_COUNT).replace("\\\\b", "\\b")
+    # shared transitive-closure CTE: brute-force near-dup pairs →
+    # undirected edges → min-reachable-label components (mirrors
+    # connected_components' fixpoint)
+    dedup_cte = f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, {_SHINGLES["duck"]} AS s FROM documents),
+        np AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s)) * 1.0 /
+                   greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) AS j
+            FROM sh a JOIN sh b
+              ON a.doc_id < b.doc_id
+             AND least(len(a.s), len(b.s)) * 1.0 / greatest(len(a.s), len(b.s)) >= 0.8
+          ) t WHERE j >= 0.8),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+                  UNION SELECT doc_b, doc_a FROM np),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, m) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node),
+        comp AS (SELECT node AS doc_id, min(m) AS component FROM reach GROUP BY node)
+    """
+    quality_duck = r"""
+        round(
+          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)
+          - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1)
+          - length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)
+          + least(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) / greatest(len(string_split_regex(trim(text), '\s+')), 1), 0.5),
+        4)
+    """
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -701,26 +755,16 @@ def oracle_sql() -> dict[str, str]:
                AND least(len(a.s), len(b.s)) * 1.0 / greatest(len(a.s), len(b.s)) >= 0.8
             ) t WHERE jaccard >= 0.8
         """,
-        "dedup_components": f"""
-            WITH RECURSIVE sh AS (
-              SELECT doc_id, {_SHINGLES["duck"]} AS s FROM documents),
-            np AS (
-              SELECT doc_a, doc_b FROM (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       len(list_intersect(a.s, b.s)) * 1.0 /
-                       greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) AS j
-                FROM sh a JOIN sh b
-                  ON a.doc_id < b.doc_id
-                 AND least(len(a.s), len(b.s)) * 1.0 / greatest(len(a.s), len(b.s)) >= 0.8
-              ) t WHERE j >= 0.8),
-            edges AS (SELECT doc_a AS a, doc_b AS b FROM np
-                      UNION SELECT doc_b, doc_a FROM np),
-            nodes AS (SELECT DISTINCT a AS node FROM edges),
-            reach(node, m) AS (
-              SELECT node, node FROM nodes
-              UNION
-              SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node)
-            SELECT node AS doc_id, min(m) AS component FROM reach GROUP BY node
+        "dedup_components": dedup_cte + "SELECT doc_id, component FROM comp",
+        "dedup_keep_best": dedup_cte
+        + f""",
+            q AS (SELECT doc_id, {quality_duck} AS quality FROM documents)
+            SELECT component,
+                   first(c.doc_id ORDER BY q.quality DESC, c.doc_id) AS keep_id,
+                   max(q.quality) AS best_quality,
+                   count(*) AS n_docs
+            FROM comp c JOIN q ON c.doc_id = q.doc_id
+            GROUP BY component
         """,
         "minhash_sigs_md5": _minhash_md5_sql("duck", "documents"),
         "simhash_sigs_md5": _simhash_md5_sql("duck", "documents"),

@@ -37,7 +37,9 @@ SUBJECT_KEY = "pi2schema-subject-identifier"
 PII_KEY = "pi2schema-personal-data"
 
 
-def _build(name: str, subjects: list[str], pii: list[str]) -> ProtectionSpec:
+def _build(
+    name: str, subjects: list[str], pii: list[str], binary: list[str] | None = None
+) -> ProtectionSpec:
     if len(subjects) > 1:
         raise TooManySubjectIdentifiersError(name, len(subjects))
     if pii and not subjects:
@@ -46,6 +48,7 @@ def _build(name: str, subjects: list[str], pii: list[str]) -> ProtectionSpec:
         subject_column=subjects[0] if subjects else "",
         pii_columns=tuple(pii),
         table_name=name,
+        binary_columns=tuple(binary or ()),
     )
 
 
@@ -82,7 +85,7 @@ def from_avro_schema(schema: dict | str) -> ProtectionSpec:
         schema = json.loads(schema)
     if schema.get("type") != "record":
         raise ValueError("expected an Avro record schema")
-    subjects, pii = [], []
+    subjects, pii, binary = [], [], []
     for f in schema.get("fields", []):
         if f.get(SUBJECT_KEY):
             subjects.append(f["name"])
@@ -94,7 +97,19 @@ def from_avro_schema(schema: dict | str) -> ProtectionSpec:
         )
         if is_union_pii or f.get(PII_KEY):
             pii.append(f["name"])
-    return _build(schema.get("name", "record"), subjects, pii)
+            # bytes payloads (serialized sub-messages — the reference's
+            # primary path, OneOfPersonalDataFieldDefinition.java:53-62)
+            # must decrypt down the binary path, not be UTF-8 decoded:
+            # a plain "bytes" field, a union with a "bytes" plaintext
+            # branch, or a "fixed" plaintext branch all qualify
+            branches = ftype if isinstance(ftype, list) else [ftype]
+            if any(
+                b == "bytes"
+                or (isinstance(b, dict) and b.get("type") in ("bytes", "fixed"))
+                for b in branches
+            ):
+                binary.append(f["name"])
+    return _build(schema.get("name", "record"), subjects, pii, binary)
 
 
 def from_json_schema(schema: dict | str) -> ProtectionSpec:
@@ -109,7 +124,16 @@ def from_json_schema(schema: dict | str) -> ProtectionSpec:
     props = schema.get("properties", {})
     subjects = [n for n, p in props.items() if isinstance(p, dict) and p.get(SUBJECT_KEY) is True]
     pii = [n for n, p in props.items() if isinstance(p, dict) and p.get(PII_KEY) is True]
-    return _build(schema.get("title", "object"), subjects, pii)
+    # draft-07 binary declaration: a string property carrying
+    # contentEncoding base64 holds bytes, not text — decrypt must
+    # restore raw bytes (binary path), not UTF-8 decode
+    binary = [
+        n
+        for n in pii
+        if isinstance(props.get(n), dict)
+        and props[n].get("contentEncoding") in ("base64", "base16", "base32")
+    ]
+    return _build(schema.get("title", "object"), subjects, pii, binary)
 
 
 def from_protobuf_descriptor(descriptor: dict) -> ProtectionSpec:
@@ -120,7 +144,7 @@ def from_protobuf_descriptor(descriptor: dict) -> ProtectionSpec:
     ``EncryptedPersonalData``-typed field marks the oneof's sibling
     plaintext field as PII; the subject marker is the field option
     ``(pi2schema.subject_identifier)`` (``subject.proto:5-10``)."""
-    subjects, pii = [], []
+    subjects, pii, binary = [], [], []
     for f in descriptor.get("fields", []):
         if f.get("options", {}).get("pi2schema.subject_identifier"):
             subjects.append(f["name"])
@@ -129,5 +153,12 @@ def from_protobuf_descriptor(descriptor: dict) -> ProtectionSpec:
         enc = [b for b in branches if b.get("type_name", "").endswith("EncryptedPersonalData")]
         plain = [b for b in branches if b not in enc]
         if len(enc) == 1 and plain:
-            pii.append(oneof.get("name") or plain[0]["name"])
-    return _build(descriptor.get("name", "message"), subjects, pii)
+            name = oneof.get("name") or plain[0]["name"]
+            pii.append(name)
+            # a bytes plaintext branch (or a message branch, which the
+            # reference serializes to bytes before encrypting —
+            # OneOfPersonalDataFieldDefinition.java:53-62) is binary PII
+            ptype = plain[0].get("type", "")
+            if ptype in ("TYPE_BYTES", "bytes") or plain[0].get("type_name"):
+                binary.append(name)
+    return _build(descriptor.get("name", "message"), subjects, pii, binary)

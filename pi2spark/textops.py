@@ -184,12 +184,21 @@ def bucketed_pairs(
       expanded JVM-side from one sorted ``collect_list`` (bounded by
       ``cap`` elements, so the array is small by construction).
     - Buckets larger than ``cap`` (degenerate: boilerplate-identical or
-      empty documents): **consecutive pairs in id order** via
-      ``lead()`` — O(n) candidates instead of O(n²), O(1) memory per
-      row. Any same-bucket clique stays one connected component
-      (consecutive edges chain it), so downstream keep-min /
-      connected-components dedup is unaffected; only the pair *list*
-      is thinned.
+      empty documents): **consecutive pairs** via ``lead()`` — O(n)
+      candidates instead of O(n²), O(1) memory per row. The chain
+      order is ``(payload, id)`` when payload columns exist (similar
+      items sort adjacent — e.g. equal SimHash values or equal
+      embeddings land next to each other — so chain edges connect
+      look-alikes, not arbitrary id neighbors) and plain id order
+      otherwise. Any same-bucket clique of *identical* items stays one
+      connected component (equal payloads sort together and chain);
+      for a **heterogeneous** over-cap bucket the pair list is a
+      recall-bounded sample — callers that exact-verify pairs
+      (hamming/jaccard/cosine filters) may drop chain edges between
+      dissimilar neighbors, so per-pair guarantees (e.g. SimHash's
+      pigeonhole) hold only up to bucket size ``cap``; dedup via
+      connected components is unaffected for homogeneous buckets,
+      which is what degenerate buckets are in practice.
 
     Returns distinct ``(a, b)`` id pairs (a < b) plus, for each side,
     the payload struct columns ``l`` / ``r`` carrying ``payload_cols``.
@@ -198,7 +207,8 @@ def bucketed_pairs(
     item = F.struct(F.col(id_col).alias("i"), *[F.col(c) for c in payload_cols])
     e = entries.select(*[F.col(c) for c in bucket_cols], item.alias("__it"))
     wb = Window.partitionBy(*bucket_cols)
-    wo = wb.orderBy(F.col("__it.i"))
+    chain_keys = [F.col(f"__it.{c}") for c in payload_cols] + [F.col("__it.i")]
+    wo = wb.orderBy(*chain_keys)
     e = e.withColumn("__cnt", F.count(F.lit(1)).over(wb))
 
     small = (
@@ -223,10 +233,12 @@ def bucketed_pairs(
         .filter(F.col("__nx").isNotNull())
         .select(F.col("__it").alias("l"), F.col("__nx").alias("r"))
     )
+    # payload-ordered chaining no longer guarantees l.i < r.i —
+    # normalize (a, b) orientation; l/r payload uses are symmetric
     return (
         small_pairs.union(big_pairs)
-        .withColumn("a", F.col("l.i"))
-        .withColumn("b", F.col("r.i"))
+        .withColumn("a", F.least(F.col("l.i"), F.col("r.i")))
+        .withColumn("b", F.greatest(F.col("l.i"), F.col("r.i")))
         .dropDuplicates(["a", "b"])
     )
 
@@ -318,10 +330,16 @@ def minhash_lsh_pairs(
     shuffle volume by the band count); full signatures are rejoined by
     id only for the surviving candidate pairs. Degenerate buckets are
     capped (``bucket_cap``) via consecutive-pair chaining — see
-    ``bucketed_pairs``. ``persist_sigs`` keeps the narrow
-    (id, signature) frame (≈0.5 KB/row) in executor storage so the
-    shingling UDF runs once instead of three times; at warehouse scale
-    the same role is played by materializing signatures to a table."""
+    ``bucketed_pairs``; the band entries carry no payload, so chaining
+    is in id order and pair recall inside a *heterogeneous* over-cap
+    bucket is bounded (near-dup cliques, the realistic over-cap case,
+    are unaffected). ``persist_sigs`` keeps the narrow (id, signature)
+    frame (≈0.5 KB/row) in executor storage so the shingling UDF runs
+    once instead of three times; the result is then eagerly
+    materialized (``localCheckpoint``) so the cache can be released
+    before returning — repeated calls in a long session don't
+    accumulate cached frames. At warehouse scale the same role is
+    played by materializing signatures to a table."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
     if persist_sigs:
         from pyspark import StorageLevel
@@ -352,9 +370,16 @@ def minhash_lsh_pairs(
         / F.lit(float(num_hashes)),
         4,
     )
-    return cand.select(
+    out = cand.select(
         F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), est.alias("est_jaccard")
     ).filter(F.col("est_jaccard") >= threshold)
+    if persist_sigs:
+        # the surviving pairs are small by construction (post-threshold,
+        # bucket-capped); pin them and release the signature cache so
+        # the persisted frame doesn't outlive the call
+        out = out.localCheckpoint(eager=True)
+        sigs.unpersist()
+    return out
 
 
 # -- connected components over near-dup pairs --------------------------------
@@ -365,6 +390,8 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    check_every: int = 2,
 ) -> DataFrame:
     """(doc_a, doc_b) near-dup edges → (doc_id, component) where
     ``component`` is the minimum doc id reachable from the node — the
@@ -375,23 +402,39 @@ def connected_components(
     (label ← label(label)) each round, so path-shaped components —
     exactly what ``bucketed_pairs`` emits for degenerate buckets —
     converge in O(log n) rounds, not O(n). Each round is two joins on
-    fixed-width ids; lineage is cut per round with localCheckpoint
-    (swap for ``checkpoint()`` + a checkpoint dir on a real cluster).
-    ``max_iter=25`` covers components of diameter 2^25."""
+    fixed-width ids; lineage is cut per round. ``max_iter=25`` covers
+    components of diameter 2^25.
+
+    Cluster hardening: pass ``checkpoint_dir`` to cut lineage with
+    reliable ``checkpoint()`` files (survives executor loss — the
+    default ``localCheckpoint`` stores blocks on executors and cannot
+    recompute them if one dies mid-algorithm). The convergence check —
+    a driver count comparing labels across rounds — runs every
+    ``check_every`` rounds instead of every round, halving driver job
+    count at the cost of ≤ ``check_every − 1`` extra (cheap, already
+    converged) iterations."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
+    edges = _cut(edges)
+    labels = _cut(
         edges.select(F.col("s").alias("node"))
         .union(edges.select(F.col("d").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(1, max_iter + 1):
         nbr = (
             edges.join(labels, edges["d"] == labels["node"])
             .groupBy("s")
@@ -405,24 +448,57 @@ def connected_components(
             )
         )
         x, y = prop.alias("x"), prop.alias("y")
-        jumped = (
+        jumped = _cut(
             x.join(y, F.col("x.label") == F.col("y.node"), "left")
             .select(
                 F.col("x.node").alias("node"),
                 F.coalesce(F.col("y.label"), F.col("x.label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        if it % check_every == 0 or it == max_iter:
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                labels = jumped
+                break
         labels = jumped
-        if changed == 0:
-            break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def dedup_keep_best(
+    components: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Keeper selection — the step that completes the dedup pipeline
+    (pairs → components → **keeper**): for each near-dup component,
+    keep the highest-quality document (ties → minimum id).
+
+    Pure aggregation, no window: argmax via ``max(struct(quality,
+    −id))`` gets map-side partial aggregation and never materializes a
+    per-component sort — at 100 TB the groupBy key (component id) is a
+    fixed-width long and the combine is associative."""
+    joined = components.join(quality.select(id_col, quality_col), id_col)
+    # max over (quality, -id): max quality, then min id among ties
+    best = F.max(
+        F.struct(F.col(quality_col).alias("q"), (-F.col(id_col)).alias("negid"))
+    ).alias("best")
+    return (
+        joined.groupBy(component_col)
+        .agg(best, F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col(component_col),
+            (-F.col("best.negid")).cast("long").alias("keep_id"),
+            F.col("best.q").alias("best_quality"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -132,8 +132,18 @@ def train_ivf_centroids(
     Returns the (n_centroids, dim) float64 centroid matrix; broadcast
     it (it is a few hundred KB) and hand it to ``ivf_assign`` /
     ``ivf_topk``."""
-    frac_df = df.select(vec_col)
-    pdf = frac_df.limit(sample_rows).toPandas()
+    # a REAL random sample (seeded), not limit(n) = the first N rows —
+    # a sorted/clustered table would otherwise train a biased quantizer
+    # (same recipe as zorder.column_boundaries: fraction from the row
+    # count, oversample 1.2×, cap with limit)
+    total = df.count()
+    frac = min(1.0, (sample_rows * 1.2) / max(total, 1))
+    pdf = (
+        df.select(vec_col)
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(sample_rows)
+        .toPandas()
+    )
     x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -188,6 +198,80 @@ def ivf_topk(
         F.col("__list").isin(probes)
     )
     return brute_force_topk(cand.drop("__list"), q, k, vec_col, id_col)
+
+
+IVF_LIST_COL = "ivf_list"
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Add the nearest-centroid inverted-list id as a column."""
+    return df.withColumn(IVF_LIST_COL, make_ivf_assign_udf(centroids)(F.col(vec_col)))
+
+
+def materialize_ivf(
+    table,
+    spark,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    pass_id: str | None = None,
+):
+    """Materialize the IVF assignment as a **table column** and cluster
+    the data files by it: one range shuffle on ``ivf_list`` (contiguous
+    list ranges per file → tight per-file min/max stats), one snapshot
+    commit. After this pass an ``ivf_topk_table`` query reads ONLY the
+    files whose list range intersects its probes (B2 stats pruning) —
+    n_probe/n_centroids of the table instead of all of it, which is the
+    entire point of IVF at 100 TB. Assignment cost is paid once here,
+    not per query.
+
+    The table's ``stats.columns`` property must include ``ivf_list``
+    (set it at ``Table.create``) for the footer stats to be collected."""
+    import uuid as _uuid
+
+    snap = table.snapshot()
+    if not snap.files:
+        return snap
+    total_bytes = sum(f.bytes for f in snap.files)
+    n_files = max(1, round(total_bytes / target_file_bytes))
+    df = table.scan(spark)
+    keyed = ivf_assign(df, centroids, vec_col)
+    out = keyed.repartitionByRange(n_files, F.col(IVF_LIST_COL)).sortWithinPartitions(
+        IVF_LIST_COL
+    )
+    tag = pass_id or f"ivf-{_uuid.uuid4().hex[:10]}"
+    added = table.write_files(out, spark, tag=tag)
+    return table.commit(
+        "ivf",
+        added=added,
+        removed_paths=[f.path for f in snap.files],
+        summary={"n_centroids": int(len(centroids)), "n_files": n_files},
+    )
+
+
+def ivf_topk_table(
+    table,
+    spark,
+    query_vec,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k over a table whose assignment was materialized by
+    ``materialize_ivf``: file-level stats pruning on the probed list
+    ids (driver-side, before Catalyst sees a path), then a row filter,
+    then exact cosine rerank over the survivors. No assignment UDF runs
+    at query time."""
+    from pi2spark.table import ColumnPredicate
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:n_probe]]
+    pred = ColumnPredicate(IVF_LIST_COL, "in", values=tuple(probes))
+    cand = table.scan(spark, filters=[pred]).filter(F.col(IVF_LIST_COL).isin(probes))
+    return brute_force_topk(cand.drop(IVF_LIST_COL), q, k, vec_col, id_col)
 
 
 def embedding_near_dup_pairs(

