@@ -38,6 +38,15 @@ def _persist_sigs() -> bool:
     return not os.environ.get("SPARK_GRAFT_LAZY_PLANS")
 
 
+# Key distribution cutover for the flagship pipeline: at or above this
+# many subjects, keys travel as a (subject_id, key) DataFrame join (the
+# unbounded-cardinality path) instead of a broadcast dict. Deliberately
+# low so the contract pipelines EXERCISE the scale path (the sf tables
+# have ~20 subjects); production guidance is ~10^6 (the broadcast heap
+# ceiling documented in pi2spark.crypto.broadcast_keys).
+KEYED_JOIN_THRESHOLD = 16
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -77,8 +86,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="pi2spark-entry-")
     reg = KeyRegistry(os.path.join(root, "kms.jsonl"))
-    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
-    keys = broadcast_keys(spark, reg.key_map())
+    # no distinct().collect(): subjects stream through toLocalIterator
+    # (bounded driver memory), and above the threshold the keys travel
+    # as a (subject_id, key) DataFrame join — the unbounded-cardinality
+    # path (digest-equal to broadcast; tests/test_keyed_join_path.py)
+    n_subjects = reg.register_from_df(plain.select("repo").distinct())
+    keys = (
+        reg.key_df(spark)
+        if n_subjects >= KEYED_JOIN_THRESHOLD
+        else broadcast_keys(spark, reg.key_map())
+    )
 
     # protection is DECLARED IN TABLE METADATA (A2/A3): the spec below
     # compiles from the stored annotated schema, not from code
@@ -93,7 +110,11 @@ def entry(spark: SparkSession) -> DataFrame:
     forget_and_shred(t, spark, reg, "src0")
     expire_snapshots(t, keep_last=1)
 
-    keys2 = broadcast_keys(spark, reg.key_map())
+    keys2 = (
+        reg.key_df(spark)
+        if n_subjects >= KEYED_JOIN_THRESHOLD
+        else broadcast_keys(spark, reg.key_map())
+    )
     scan = decrypt_table(t.scan(spark), spec, keys2)
     return scan.select(
         "repo",
@@ -528,8 +549,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         plain = _source_table_from_documents(spark, sf_dir)
         root = tempfile.mkdtemp(prefix="pi2spark-q-")
         reg = KeyRegistry(os.path.join(root, "kms.jsonl"))
-        reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
-        keys = broadcast_keys(spark, reg.key_map())
+        n_subjects = reg.register_from_df(plain.select("repo").distinct())
+        keys = (
+            reg.key_df(spark)
+            if n_subjects >= KEYED_JOIN_THRESHOLD
+            else broadcast_keys(spark, reg.key_map())
+        )
         t = Table.create(
             os.path.join(root, "tbl"),
             protection=annotate_schema(plain.schema, "repo", ["content"]),
@@ -540,7 +565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cluster(t, spark, curve="morton", target_file_bytes=64 * 1024, bits=12)
         forget_and_shred(t, spark, reg, "src0")
         expire_snapshots(t, keep_last=1)
-        keys2 = broadcast_keys(spark, reg.key_map())
+        keys2 = (
+            reg.key_df(spark)
+            if n_subjects >= KEYED_JOIN_THRESHOLD
+            else broadcast_keys(spark, reg.key_map())
+        )
         scan = decrypt_table(t.scan(spark), spec, keys2)
         return scan.select(
             "repo", "path", "lang", "shredded",

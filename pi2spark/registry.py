@@ -146,6 +146,23 @@ class KeyRegistry:
         for s in subject_ids:
             self.register(s)
 
+    def register_from_df(self, subjects_df, column: str | None = None) -> int:
+        """Register every subject in a (distinct) DataFrame column
+        WITHOUT collecting the full list to the driver:
+        ``toLocalIterator`` streams one partition at a time, so driver
+        memory is bounded by the largest partition, not the subject
+        count. Key generation is inherently a driver/KMS-side act (the
+        registry owns the log), so the stream-through is the scale
+        shape; a deployment beyond that stores keys as a table and
+        passes ``key_df``-style scans directly. Returns the number of
+        registered subjects."""
+        col = column or subjects_df.columns[0]
+        n = 0
+        for row in subjects_df.select(col).toLocalIterator():
+            self.register(row[0])
+            n += 1
+        return n
+
     def forget(self, subject_id: str) -> None:
         """Delete a subject's materials (crypto-shred).
 

@@ -86,8 +86,14 @@ def append_stream(
             return  # replayed micro-batch after restart — already committed
         spark = batch_df.sparkSession
         enc = encrypt_table(batch_df, spec, keys)
+        # retry=True: a concurrent maintenance pass (e.g. compaction)
+        # racing the micro-batch must not fail the streaming query —
+        # an append removes no files, so the delta always re-applies
         table.append(
-            enc, spark, summary={STREAM_QUERY_KEY: query_name, STREAM_BATCH_KEY: batch_id}
+            enc,
+            spark,
+            summary={STREAM_QUERY_KEY: query_name, STREAM_BATCH_KEY: batch_id},
+            retry=True,
         )
 
     writer = (
@@ -95,6 +101,69 @@ def append_stream(
         .foreachBatch(_commit)
         .option("checkpointLocation", checkpoint_dir)
     )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def forget_stream(
+    commands: DataFrame,
+    table: Table,
+    registry,
+    subject_column: str = "repo",
+    envelope_columns=("content_enc",),
+    checkpoint_dir: str | None = None,
+    query_name: str = "pi2spark-forget",
+    trigger_available_now: bool = True,
+    target_file_bytes: int = 128 * 1024 * 1024,
+):
+    """Continuous right-to-be-forgotten queue: consume the reference's
+    KMS command stream (``kms/kafka_provider.proto:6-21`` — the
+    declared vocabulary IS a stream) and execute each FORGET
+    **mid-stream** instead of waiting for the next batch pass.
+
+    ``commands`` is a streaming DataFrame with at least
+    ``(subject_id string, command string)``. Per micro-batch:
+
+    1. ``registry.forget(subject)`` for every FORGET — deletes AND
+       physically redacts the key material (crypto-shred: the
+       ciphertext is unrecoverable from this instant, before any file
+       is rewritten);
+    2. one targeted MERGE-shred pass over the affected files.
+
+    Exactly-once across restarts: the shred pass_id is derived from the
+    micro-batch id, so a replayed batch finds its committed PassLedger
+    and skips; ``registry.forget`` is idempotent by construction.
+    REGISTER commands in the stream are honored too (idempotent
+    get-or-create), completing the reference's command vocabulary."""
+    from pi2spark.maintenance import shred
+    from pi2spark.registry import FORGET, REGISTER
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rows = batch_df.select("subject_id", "command").collect()
+        # command streams are human-action-rate (GDPR requests), so a
+        # driver collect of one micro-batch is bounded by construction
+        for r in rows:
+            if r.command == REGISTER:
+                registry.register(r.subject_id)
+        victims = sorted({r.subject_id for r in rows if r.command == FORGET})
+        for s in victims:
+            registry.forget(s)
+        if victims:
+            shred(
+                table,
+                spark,
+                victims,
+                subject_column=subject_column,
+                envelope_columns=envelope_columns,
+                pass_id=f"{query_name}-batch{batch_id:08d}",
+                target_file_bytes=target_file_bytes,
+            )
+
+    writer = commands.writeStream.queryName(query_name).foreachBatch(_handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -343,7 +343,22 @@ class Table:
     def current_version(self) -> int:
         hint = os.path.join(self._meta_dir, "version-hint.text")
         with open(hint, "r", encoding="utf-8") as fh:
-            return int(fh.read().strip())
+            v = int(fh.read().strip())
+        # Self-heal a stale hint: a writer crashing between linking
+        # v{N}.json and renaming version-hint.text would otherwise
+        # wedge the table permanently — every later commit recomputes
+        # the stale version, hits FileExistsError on the already-linked
+        # v{N}.json, and retries forever. Walk forward from the hint
+        # (O(1) when healthy, O(gap) after a crash) and advance it.
+        repaired = v
+        while os.path.exists(os.path.join(self._meta_dir, f"v{repaired + 1}.json")):
+            repaired += 1
+        if repaired != v:
+            htmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(htmp, "w", encoding="utf-8") as fh:
+                fh.write(str(repaired))
+            os.rename(htmp, hint)
+        return repaired
 
     def _metadata(self, version: int | None = None) -> dict:
         v = version if version is not None else self.current_version()
@@ -676,8 +691,14 @@ class Table:
         df: DataFrame,
         spark: SparkSession,
         summary: dict | None = None,
+        retry: bool = False,
     ) -> Snapshot:
+        """``retry=True`` routes through ``commit_with_retry`` — an
+        append removes no files, so its delta re-applies cleanly over
+        any concurrent winner (the standard disjoint-append case)."""
         files = self.write_files(df, spark, tag="append")
+        if retry:
+            return self.commit_with_retry("append", added=files, summary=summary)
         return self.commit("append", added=files, summary=summary)
 
     # -- read path (B1 snapshot isolation + B2 pruning) --

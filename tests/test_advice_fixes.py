@@ -286,3 +286,25 @@ def test_tampered_ciphertext_raises_invalid_message(spark):
     )
     with pytest.raises(Exception, match="InvalidEncryptedMessageError"):
         decrypt_table(tampered, spec, keys).collect()
+
+
+def test_stale_version_hint_self_heals(tmp_path):
+    """A writer crashing between linking v{N}.json and renaming the
+    version hint must not wedge the table: current_version walks
+    forward past the stale hint, repairs it, and later commits
+    succeed (round-2 ADVICE)."""
+    t = Table.create(str(tmp_path / "t"))
+    f1 = DataFile(path="data/a.parquet", rows=1, bytes=10)
+    t.commit("append", added=[f1])  # v2
+    t.commit("append", added=[DataFile(path="data/b.parquet", rows=1, bytes=10)])  # v3
+
+    hint = os.path.join(t._meta_dir, "version-hint.text")
+    with open(hint, "w", encoding="utf-8") as fh:
+        fh.write("1")  # simulate the crash window
+
+    assert t.current_version() == 3  # walked forward
+    with open(hint, encoding="utf-8") as fh:
+        assert fh.read().strip() == "3"  # hint repaired
+    # and a commit on the healed table succeeds without a retry storm
+    snap = t.commit("append", added=[DataFile(path="data/c.parquet", rows=1, bytes=10)])
+    assert snap.snapshot_id == 3

@@ -195,3 +195,62 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_forget_stream_shreds_mid_stream(spark, tmp_path):
+    """GDPR request arriving on a command stream: key redacted + files
+    shredded by the micro-batch, no batch pass needed; replay of the
+    same command batch is a no-op (ledger idempotency)."""
+    import json
+
+    from pi2spark.maintenance import shred  # noqa: F401 (exercised via stream)
+    from pi2spark.streaming import forget_stream
+
+    # table with encrypted data
+    plain = synthesize_source_files(spark, 300, seed=33, partitions=4, max_len=800)
+    reg = KeyRegistry(str(tmp_path / "kms.jsonl"))
+    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    keys = broadcast_keys(spark, reg.key_map())
+    from pi2spark.crypto import encrypt_table
+
+    t = Table.create(str(tmp_path / "tbl"))
+    t.append(encrypt_table(plain, SPEC, keys), spark)
+    victim = plain.select("repo").distinct().orderBy("repo").first().repo
+
+    # command stream: one FORGET + one REGISTER for a new subject
+    cmd_src = str(tmp_path / "cmds")
+    spark.createDataFrame(
+        [(victim, "FORGET"), ("org-new/repo", "REGISTER")],
+        "subject_id string, command string",
+    ).coalesce(1).write.parquet(cmd_src)
+    cmds = spark.readStream.schema("subject_id string, command string").parquet(cmd_src)
+
+    q = forget_stream(
+        cmds, t, reg, checkpoint_dir=str(tmp_path / "fckpt"), query_name="forget-test"
+    )
+    q.awaitTermination(120)
+
+    # key gone AND physically redacted from the on-disk log
+    assert reg.latest_key(victim) is None
+    assert reg.latest_key("org-new/repo") is not None
+    with open(str(tmp_path / "kms.jsonl"), encoding="utf-8") as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if rec["subject_id"] == victim and rec["command"] == "REGISTER":
+                assert rec.get("key_b64") is None
+
+    # scan tombstones the victim; others untouched
+    keys2 = broadcast_keys(spark, reg.key_map())
+    scan = decrypt_table(t.scan(spark), SPEC, keys2)
+    assert scan.filter((F.col("repo") == victim) & ~F.col("shredded")).count() == 0
+    assert scan.filter((F.col("repo") == victim) & F.col("content").isNotNull()).count() == 0
+    assert scan.filter((F.col("repo") != victim) & F.col("shredded")).count() == 0
+
+    # replay: same checkpoint, same input -> no new snapshot
+    before = t.current_snapshot_id()
+    cmds2 = spark.readStream.schema("subject_id string, command string").parquet(cmd_src)
+    q2 = forget_stream(
+        cmds2, t, reg, checkpoint_dir=str(tmp_path / "fckpt"), query_name="forget-test"
+    )
+    q2.awaitTermination(120)
+    assert t.current_snapshot_id() == before
