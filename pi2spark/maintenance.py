@@ -3,43 +3,48 @@ snapshot expiry (SURVEY.md §2 B3/B4/B7/B8/B9/B10).
 
 Execution model
 ---------------
-Compaction and shred rewrite their file groups in **waves**: one wave
-= ONE Spark job whose plan is a union of per-group single-partition
-branches (each branch scans only its group's input files and
-``coalesce(1)``s them — a narrow dependency), so the job runs one
-task per group with **no shuffle at all**; ciphertext moves opaquely
-(crypto is NOT re-run — the envelope column is just bytes to these
-passes). Union partition *i* is exactly group *i*, so the writer's
-``part-{i:05d}`` output files map back to their rewrite group by
-index. This replaces round-2's one-Spark-job-per-group thread pool,
-whose fixed ~0.3 s/job driver cost put a parallelism-independent
-floor under the pass (measured 2→8-core efficiency 0.37) — a wave
-amortizes that driver cost over ``wave_groups`` groups, and the
-per-task work is what scales with executors. Z-order is the only
-pass with a shuffle, and it is a single range-repartition on the
-cluster key with a tiebreaker column so mega-repo ties split across
-partitions (AQE-aware range partitioning, BASELINE.json:north_star).
+Compaction and shred rewrite their input files in **waves**: one wave
+= ONE Spark scan-and-write job over all of the wave's files, with
+**Spark's own scan packing doing the bin planning** —
+``spark.sql.files.maxPartitionBytes`` is set to the target file size
+(and ``openCostInBytes`` to 0) for the duration of the job, so the
+FileSourceScan packs small files into ~target-size partitions
+(greedy by size, the same first-fit idea as Iceberg's binpack) and
+the writer emits exactly one ~target-size file per partition. No
+shuffle at all; ciphertext moves opaquely (crypto is NOT re-run —
+the envelope column is just bytes to these passes). An oversized
+input splits across partitions (parquet is splittable) and simply
+yields several right-sized outputs.
+
+This is the third iteration of the pass's execution shape, chosen by
+measurement: round 2 ran one Spark job per bin from a driver thread
+pool (fixed ~0.3 s/job driver cost → parallelism-independent floor,
+2→8-core efficiency 0.37); a union-of-coalesced-branches wave fixed
+the job floor but paid ~110 ms of py4j reader construction per
+branch plus O(branches²) union analysis on the driver. One reader
+per wave pays the listing ONCE (JVM-parallel), builds one plan, and
+leaves the driver idle while executors stream data.
+
+Z-order is the only pass with a shuffle, and it is a single
+range-repartition on the cluster key with a tiebreaker column so
+mega-repo ties split across partitions (AQE-aware range
+partitioning, BASELINE.json:north_star).
 
 Every pass takes a ``pass_id`` and writes a ``PassLedger`` (B10):
 killed mid-pass → rerun with the same id skips completed waves and
 commits exactly the same snapshot content.
 
-Scale notes (10^12-file ambition): group planning is a driver-side
-first-fit-decreasing over manifest entries — O(n log n) in *file
-count of one snapshot*, the same planning cost Iceberg pays; the
-data plane is fully distributed and shuffle-free. ``wave_groups``
-(default 512) bounds the union plan width — Catalyst analysis is
-O(branches), so a 10^5-group backlog runs as ~200 jobs, not 10^5.
+Scale notes (10^12-file ambition): ``wave_files`` (default 10^4)
+bounds the path list handed to one reader; a 10^6-file backlog runs
+as ~100 jobs, each fully distributed and shuffle-free.
 """
 
 from __future__ import annotations
 
 import os
-import re
 import time
 import uuid
 from dataclasses import dataclass, field
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,8 +55,7 @@ from pi2spark.zorder import column_boundaries, with_cluster_key
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 DEFAULT_CONCURRENCY = 8  # legacy knob, kept for CLI compat (wave mode ignores it)
-DEFAULT_WAVE_GROUPS = 512  # rewrite groups per Spark job (union plan width)
-_PART_RE = re.compile(r"part-(\d+)-")
+DEFAULT_WAVE_FILES = 10_000  # input files per rewrite wave (one Spark job each)
 
 
 @dataclass
@@ -71,117 +75,98 @@ def _new_pass_id(prefix: str) -> str:
     return f"{prefix}-{uuid.uuid4().hex[:10]}"
 
 
-def _rewrite_groups_in_waves(
+def _rewrite_files_in_waves(
     table: Table,
     spark: SparkSession,
     ledger,
-    groups: list[list[DataFile]],
+    files: list[DataFile],
     tag: str,
+    target_bytes: int,
     transform=None,
     sort_col: str | None = None,
-    wave_groups: int = DEFAULT_WAVE_GROUPS,
+    wave_files: int = DEFAULT_WAVE_FILES,
 ) -> list[dict]:
-    """Rewrite file groups, one Spark job per wave of ``wave_groups``
-    groups (see module docstring). Each group becomes one branch of a
-    union plan: ``scan(group files) → coalesce(1) [→ transform]
-    [→ sortWithinPartitions(sort_col)]`` — all narrow, so the job is
-    one task per group and zero shuffles. ``transform`` (e.g. the shred
-    tombstone projection) is applied per branch BEFORE the union so its
-    broadcast join stays narrow; union partition order maps the
-    writer's ``part-{i:05d}`` files back to group *i*.
+    """Rewrite data files into ~``target_bytes`` outputs, one Spark job
+    per wave of ``wave_files`` inputs (see module docstring): the scan
+    packs inputs into target-size partitions (maxPartitionBytes =
+    target, openCost = 0), the optional ``transform`` (e.g. the shred
+    tombstone projection, a broadcast join) and per-partition
+    ``sort_col`` sort are narrow, and the writer emits one file per
+    partition. Zero shuffles, one listing, one plan.
 
     Resume granularity is the wave: the ledger records one task per
-    wave with every group's inputs/outputs, and a rerun with the same
-    pass_id skips completed waves. Output-file stats are collected once
-    per wave over ALL outputs (distributed via ``collect_data_files``
-    above its threshold), not per group."""
+    wave with the wave's inputs/outputs; a rerun with the same pass_id
+    skips completed waves. Output stats are collected once per wave
+    (distributed via ``collect_data_files`` above its threshold)."""
     stat_cols = table.stats_columns()
     bloom_cols = table.bloom_columns()
-    # one schema read up front; branches then skip per-read inference
-    first = os.path.join(table.root, groups[0][0].path)
-    schema = spark.read.parquet(first).schema
-    sort_ok = sort_col is not None and sort_col in [f.name for f in schema.fields]
-
+    conf = spark.conf
     results: list[dict] = []
-    for w, start in enumerate(range(0, len(groups), wave_groups)):
-        wave = groups[start : start + wave_groups]
+    for w, start in enumerate(range(0, len(files), wave_files)):
+        wave = files[start : start + wave_files]
         task_id = f"wave-{w:05d}"
         prior = ledger.task_result(task_id)
         if prior:
-            results.extend(prior["groups"])
+            results.append(prior)
             continue
         s = time.time()
         rel_dir, abs_dir = table.new_data_dir(f"{tag}-w{w:05d}")
-
-        def branch(group: list[DataFile]) -> DataFrame:
-            paths = [os.path.join(table.root, f.path) for f in group]
-            df = spark.read.schema(schema).parquet(*paths).coalesce(1)
+        paths = [os.path.join(table.root, f.path) for f in wave]
+        # target-size packing: maxPartitionBytes bounds the pack,
+        # openCost=0 packs by real size, and minPartitionNum=1 disables
+        # the bytes-per-core split (Spark's default floor of
+        # defaultParallelism partitions would shred the pack back into
+        # core-count pieces and defeat the file-sizing goal)
+        overrides = {
+            "spark.sql.files.maxPartitionBytes": str(target_bytes),
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.files.minPartitionNum": "1",
+        }
+        saved = {k: conf.get(k, None) for k in overrides}
+        for k, v in overrides.items():
+            conf.set(k, v)
+        try:
+            df = spark.read.parquet(*paths)
             if transform is not None:
                 df = transform(df)
-            if sort_ok:
+            if sort_col is not None and sort_col in df.columns:
+                # restore key order inside each packed partition (the
+                # pack concatenates sorted inputs; one in-memory sort
+                # per ~target-size partition re-merges them)
                 df = df.sortWithinPartitions(sort_col)
-            return df
-
-        body = reduce(DataFrame.unionByName, (branch(g) for g in wave))
-        body.write.mode("overwrite").parquet(abs_dir)
-
-        by_idx: dict[int, list[str]] = {}
-        for name in sorted(os.listdir(abs_dir)):
-            m = _PART_RE.match(name)
-            if m and name.endswith(".parquet"):
-                by_idx.setdefault(int(m.group(1)), []).append(os.path.join(rel_dir, name))
-        all_rels = [p for idx in sorted(by_idx) for p in by_idx[idx]]
+            df.write.mode("overwrite").parquet(abs_dir)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+        rels = [
+            os.path.join(rel_dir, n)
+            for n in sorted(os.listdir(abs_dir))
+            if n.endswith(".parquet")
+        ]
         added = collect_data_files(
-            table.root, all_rels, stat_cols, spark=spark, bloom_cols=bloom_cols
+            table.root, rels, stat_cols, spark=spark, bloom_cols=bloom_cols
         )
-        by_path = {a.path: a for a in added}
-        wave_results = []
-        for i, group in enumerate(wave):
-            outs = [by_path[p] for p in by_idx.get(i, [])]
-            wave_results.append(
-                {
-                    "inputs": [f.path for f in group],
-                    "outputs": [a.to_json() for a in outs],
-                    "rows": sum(a.rows for a in outs),
-                    "bytes_in": sum(f.bytes for f in group),
-                }
-            )
+        result = {
+            "inputs": [f.path for f in wave],
+            "outputs": [a.to_json() for a in added],
+            "rows": sum(a.rows for a in added),
+            "bytes_in": sum(f.bytes for f in wave),
+        }
         ledger.record_task(
-            task_id,
-            {"groups": wave_results},
-            metrics={"seconds": time.time() - s, "n_groups": len(wave)},
+            task_id, result, metrics={"seconds": time.time() - s, "n_files": len(wave)}
         )
-        results.extend(wave_results)
+        results.append(result)
     return results
 
 
 # ---------------------------------------------------------------------------
-# B3 — bin-packing compaction
+# B3 — compaction (bin planning delegated to Spark's scan packing —
+# see module docstring; the explicit FFD planner this replaced lives
+# in git history)
 # ---------------------------------------------------------------------------
-
-
-def plan_bins(
-    files: list[DataFile], target_bytes: int, small_ratio: float = 0.75, min_files: int = 2
-):
-    """First-fit-decreasing bin packing of small files into
-    ~target-size rewrite groups. Deterministic: files sorted by
-    (size desc, path). ``min_files=1`` packs everything (used by shred,
-    where every affected file must be rewritten regardless)."""
-    small = [f for f in files if f.bytes < target_bytes * small_ratio]
-    small.sort(key=lambda f: (-f.bytes, f.path))
-    bins: list[list[DataFile]] = []
-    totals: list[int] = []
-    for f in small:
-        for i, tot in enumerate(totals):
-            if tot + f.bytes <= target_bytes:
-                bins[i].append(f)
-                totals[i] += f.bytes
-                break
-        else:
-            bins.append([f])
-            totals.append(f.bytes)
-    # a bin of one file is a rename with no benefit — leave it alone
-    return [b for b in bins if len(b) >= min_files]
 
 
 def compact(
@@ -190,11 +175,15 @@ def compact(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     concurrency: int = DEFAULT_CONCURRENCY,  # noqa: ARG001 — legacy, wave mode
     pass_id: str | None = None,
-    wave_groups: int = DEFAULT_WAVE_GROUPS,
+    wave_files: int = DEFAULT_WAVE_FILES,
+    small_ratio: float = 0.75,
 ) -> PassResult:
-    """Rewrite groups of small files into ~target-size files. No
-    shuffle, no crypto: one Spark job per wave, one task per group,
-    ciphertext is opaque payload (see ``_rewrite_groups_in_waves``)."""
+    """Rewrite small files into ~target-size files. No shuffle, no
+    crypto: one Spark job per wave, scan packing forms the bins,
+    ciphertext is opaque payload (see ``_rewrite_files_in_waves``).
+    Only files under ``small_ratio × target`` are rewritten (a
+    near-target file is a rename with no benefit); a single leftover
+    small file is likewise left alone."""
     t0 = time.time()
     pass_id = pass_id or _new_pass_id("compact")
     ledger = PassLedger(table.root, pass_id)
@@ -202,12 +191,19 @@ def compact(
         return PassResult("compact", pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True)
 
     snap = table.snapshot()
-    bins = plan_bins(snap.files, target_file_bytes)
-    if not bins:
+    small = [f for f in snap.files if f.bytes < target_file_bytes * small_ratio]
+    small.sort(key=lambda f: f.path)
+    if len(small) < 2:
         return PassResult("compact", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
 
-    results = _rewrite_groups_in_waves(
-        table, spark, ledger, bins, f"compact-{pass_id}", wave_groups=wave_groups
+    results = _rewrite_files_in_waves(
+        table,
+        spark,
+        ledger,
+        small,
+        f"compact-{pass_id}",
+        target_bytes=target_file_bytes,
+        wave_files=wave_files,
     )
     removed = [p for r in results for p in r["inputs"]]
     added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
@@ -215,9 +211,9 @@ def compact(
         "compact",
         added=added,
         removed_paths=removed,
-        summary={"pass_id": pass_id, "bins": len(bins)},
+        summary={"pass_id": pass_id, "waves": len(results)},
     )
-    ledger.record_commit(new_snap.snapshot_id, {"bins": len(bins)})
+    ledger.record_commit(new_snap.snapshot_id, {"waves": len(results)})
     return PassResult(
         "compact",
         pass_id,
@@ -226,7 +222,7 @@ def compact(
         added_files=len(added),
         rewritten_bytes=sum(r["bytes_in"] for r in results),
         seconds=time.time() - t0,
-        details={"bins": len(bins)},
+        details={"waves": len(results)},
     )
 
 
@@ -354,15 +350,14 @@ def shred(
     concurrency: int = DEFAULT_CONCURRENCY,  # noqa: ARG001 — legacy, wave mode
     pass_id: str | None = None,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
-    wave_groups: int = DEFAULT_WAVE_GROUPS,
+    wave_files: int = DEFAULT_WAVE_FILES,
 ) -> PassResult:
     """MERGE-INTO-style erasure: rewrite **only** the data files whose
     stats may contain a forgotten subject, tombstoning that subject's
     rows (envelope → NULL, shredded → true). All other files are
-    untouched manifest entries. Affected files are bin-packed into
-    ~target-size rewrite groups, rewritten one task per group inside
-    one Spark job per wave (``_rewrite_groups_in_waves`` — per-group
-    jobs would pay one fixed driver-job overhead per group). The caller
+    untouched manifest entries. Affected files rewrite in scan-packed
+    waves (``_rewrite_files_in_waves``) — one Spark job per wave,
+    ~target-size outputs, oversized inputs split naturally. The caller
     must already have FORGOTTEN the subject's key
     (``KeyRegistry.forget``) — key deletion is what makes the
     ciphertext unrecoverable; this pass removes the bytes."""
@@ -401,27 +396,22 @@ def shred(
             )
         return out.drop("__forget").select(*df.columns)
 
-    groups = plan_bins(affected, target_file_bytes, small_ratio=1.01, min_files=1)
-    # plan_bins packs only files below ~target size; every affected
-    # file MUST be rewritten regardless — oversized ones become
-    # singleton rewrite groups (regression: tests/test_shred_oversized.py)
-    packed = {f.path for g in groups for f in g}
-    groups += [[f] for f in affected if f.path not in packed]
-
-    # coalesce(1) happens inside the wave branch, then the tombstone
-    # projection (broadcast join — narrow), then sortWithinPartitions
-    # restores key order inside the single output partition when the
-    # table is clustered (coalesce after a sort would concatenate,
-    # not merge — so the helper sorts after the transform).
-    results = _rewrite_groups_in_waves(
+    # every affected file is rewritten regardless of size: scan packing
+    # merges the small ones toward target size and SPLITS oversized
+    # ones (parquet row groups are splittable) into several right-sized
+    # outputs (regression: tests/test_shred_oversized.py). The
+    # tombstone projection is a broadcast join (narrow), and the
+    # per-partition zkey sort restores key order when clustered.
+    results = _rewrite_files_in_waves(
         table,
         spark,
         ledger,
-        groups,
+        sorted(affected, key=lambda f: f.path),
         f"shred-{pass_id}",
+        target_bytes=target_file_bytes,
         transform=tombstone,
         sort_col="zkey",
-        wave_groups=wave_groups,
+        wave_files=wave_files,
     )
     removed = [p for r in results for p in r["inputs"]]
     added = [DataFile.from_json(d) for r in results for d in r["outputs"]]

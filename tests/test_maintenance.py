@@ -14,7 +14,7 @@ from pi2spark.maintenance import (
     compact,
     expire_snapshots,
     forget_and_shred,
-    plan_bins,
+
     shred,
 )
 from pi2spark.registry import KeyRegistry
@@ -44,13 +44,19 @@ def _digest(t, spark, keys):
     return content_digest(decrypt_table(t.scan(spark), SPEC, keys))
 
 
-def test_plan_bins_first_fit_decreasing():
-    files = [DataFile(path=f"f{i}", rows=10, bytes=b) for i, b in enumerate([60, 50, 40, 30, 20, 10])]
-    bins = plan_bins(files, target_bytes=100)
-    assert all(sum(f.bytes for f in b) <= 100 for b in bins)
-    assert all(len(b) >= 2 for b in bins)
-    packed = [f.path for b in bins for f in b]
-    assert len(packed) == len(set(packed))
+def test_compact_output_sizes_track_target(spark, loaded):
+    """Scan packing forms the bins: every compacted output file must be
+    ~target-size (inputs are merged, none dropped, none duplicated)."""
+    t, reg, keys, baseline = loaded
+    target = 256 * 1024
+    res = compact(t, spark, target_file_bytes=target)
+    assert not res.skipped
+    snap = t.snapshot()
+    sizes = [f.bytes for f in snap.files]
+    # parquet re-encoding changes sizes somewhat; allow 2x slack
+    assert all(b <= target * 2 for b in sizes)
+    assert sum(f.rows for f in snap.files) == 1200
+    assert _digest(t, spark, keys) == baseline
 
 
 def test_compaction_invariance_and_file_count(spark, loaded):
@@ -157,7 +163,7 @@ def test_expire_deletes_unreferenced_files(spark, loaded):
 def test_compaction_resume_after_partial_failure(spark, loaded, monkeypatch):
     """Kill compaction after wave 1 of n; rerun with same pass_id skips
     the completed wave, finishes the rest; scan digest identical
-    (FIXTURES.md §4 case 7). wave_groups=2 forces multiple waves at
+    (FIXTURES.md §4 case 7). wave_files=4 forces multiple waves at
     this file count (resume granularity is the wave)."""
     t, reg, keys, baseline = loaded
     import pi2spark.maintenance as M
@@ -173,12 +179,12 @@ def test_compaction_resume_after_partial_failure(spark, loaded, monkeypatch):
 
     monkeypatch.setattr(M, "collect_data_files", flaky)
     with pytest.raises(RuntimeError):
-        compact(t, spark, target_file_bytes=300 * 1024, wave_groups=2, pass_id="compact-resume-test")
+        compact(t, spark, target_file_bytes=300 * 1024, wave_files=4, pass_id="compact-resume-test")
     monkeypatch.setattr(M, "collect_data_files", orig)
 
     # no commit happened: table still at snapshot 1
     assert t.current_snapshot_id() == 1
-    res = compact(t, spark, target_file_bytes=300 * 1024, wave_groups=2, pass_id="compact-resume-test")
+    res = compact(t, spark, target_file_bytes=300 * 1024, wave_files=4, pass_id="compact-resume-test")
     assert not res.skipped
     assert _digest(t, spark, keys) == baseline
     # rerun after commit is a no-op
