@@ -538,6 +538,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("path")
         )
 
+    def q_key_rotation(spark, sf_dir):
+        """Key rotation roundtrip (rows-only: crypto is not
+        DuckDB-expressible): encrypt under v1, ROTATE one subject,
+        re-encrypt new rows under v2, decrypt the mixed-version union
+        via the versioned key map (material id travels in kms_id;
+        legacy mid-less rows try-chain). pi2spark/registry.py rotate()/
+        key_map_versioned(), crypto.py versioned decrypt."""
+        from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
+        from pi2spark.registry import KeyRegistry
+        from pi2spark.spec import ProtectionSpec
+
+        spec = ProtectionSpec.for_source_files()
+        plain = _source_table_from_documents(spark, sf_dir)
+        reg = KeyRegistry()
+        subjects = sorted(r.repo for r in plain.select("repo").distinct().collect())
+        reg.register_all(subjects)
+        enc_v1 = encrypt_table(plain, spec, broadcast_keys(spark, reg.key_map()))
+        enc_v1 = spark.createDataFrame(enc_v1.collect(), enc_v1.schema)  # seal v1 before rotating
+        victim = subjects[0]
+        reg.rotate(victim)
+        keys_v = broadcast_keys(spark, reg.key_map_versioned())
+        extra = plain.filter(F.col("repo") == victim).withColumn(
+            "path", F.concat(F.lit("v2/"), F.col("path"))
+        )
+        enc_v2 = encrypt_table(extra, spec, keys_v)
+        dec = decrypt_table(enc_v1.unionByName(enc_v2), spec, keys_v, strict=True)
+        orig = plain.select("path", F.sha2("content", 256).alias("sha")).unionByName(
+            extra.select("path", F.sha2("content", 256).alias("sha"))
+        )
+        back = dec.select("path", F.sha2("content", 256).alias("sha_back"))
+        return (
+            orig.join(back, "path")
+            .select("path", (F.col("sha") == F.col("sha_back")).alias("roundtrip_ok"))
+            .orderBy("path")
+        )
+
     def q_maintenance_pipeline(spark, sf_dir):
         # same flagship pipeline, parameterized by sf_dir
         from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
@@ -637,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "top_events_window": q_top_events_window,
         "crypto_roundtrip": q_crypto_roundtrip,
+        "key_rotation": q_key_rotation,
         "maintenance_pipeline": q_maintenance_pipeline,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,

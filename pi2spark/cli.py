@@ -18,6 +18,8 @@ Commands (one maintenance pass each — composable from a scheduler):
     cluster   Z-order / Hilbert clustering rewrite (B4);
               --incremental rewrites only not-yet-clustered files
     shred     FORGET subjects + MERGE-shred their rows (B8 + A19 FORGET)
+    rotate    ROTATE subjects' keys + re-encrypt their rows under the
+              new material, then retire (destroy) the old key bytes
     expire    reference-counted snapshot expiry (B7)
     orphans   delete data files referenced by no snapshot (age-guarded)
     verify    decrypted scan digest (B11 invariant surface);
@@ -57,7 +59,7 @@ def _spark(args):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pi2spark", description=__doc__)
     p.add_argument("command", choices=[
-        "init", "ingest", "compact", "cluster", "shred", "expire", "orphans", "verify", "status"
+        "init", "ingest", "compact", "cluster", "shred", "rotate", "expire", "orphans", "verify", "status"
     ])
     p.add_argument("--table", required=True, help="table root directory")
     p.add_argument("--registry", help="KMS command-log path (default <table>/../kms.jsonl)")
@@ -177,6 +179,19 @@ def main(argv=None) -> int:
             reg.forget(s)
         r = shred(t, spark, subjects, target_file_bytes=target,
                   concurrency=args.concurrency, pass_id=args.pass_id)
+        out.update(r.__dict__ | {"details": r.details})
+    elif args.command == "rotate":
+        from pi2spark.maintenance import rotate_and_reencrypt
+
+        subjects = [s for s in args.subjects.split(",") if s]
+        if not subjects:
+            print("error: --subjects required for rotate", file=sys.stderr)
+            return 2
+        for i, s in enumerate(subjects):
+            # a supplied --pass-id resumes the i-th subject's pass
+            pid = f"{args.pass_id}-{i}" if args.pass_id else None
+            r = rotate_and_reencrypt(t, spark, reg, s, target_file_bytes=target,
+                                     pass_id=pid)
         out.update(r.__dict__ | {"details": r.details})
     elif args.command == "verify":
         from pi2spark.verify import content_digest

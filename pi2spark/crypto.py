@@ -76,6 +76,19 @@ def _resolve_keys(keys) -> Mapping[str, bytes]:
     return keys.value if hasattr(keys, "value") else keys
 
 
+def _versions(entry) -> list[tuple[str | None, bytes]] | None:
+    """Normalize one key-map value to an ordered version list
+    ``[(material_id, key), ...]`` (latest last). Unversioned maps
+    (``KeyRegistry.key_map`` — plain ``subject → key``) become a single
+    anonymous version; versioned maps (``key_map_versioned``) pass
+    through. ``None`` ⇒ subject has no materials (crypto-shredded)."""
+    if entry is None:
+        return None
+    if isinstance(entry, (bytes, bytearray)):
+        return [(None, bytes(entry))]
+    return [(m, bytes(k)) for m, k in entry]
+
+
 def broadcast_keys(spark: SparkSession, key_map: Mapping[str, bytes]):
     """Ship the registry's materialized key map to executors once per
     pass — the Spark analogue of the reference's replicated global
@@ -115,15 +128,19 @@ def make_encrypt_udf(keys, pii_column: str):
         # Group by subject: one AESGCM object per subject per batch
         # (per-subject key reuse, SURVEY.md §4.3).
         for subj, grp in frame[frame["v"].notna()].groupby("s", sort=True):
-            key = resolved.get(subj)
-            if key is None:
+            versions = _versions(resolved.get(subj))
+            if not versions:
                 raise MissingCryptoMaterialsError(str(subj))
+            # new writes always use the LATEST material (A18); its id
+            # travels in kms_id so post-rotation decrypts pick the
+            # right version (key rotation, maintenance.reencrypt)
+            mid, key = versions[-1]
             aead = AESGCM(key)
             idxs = grp.index.to_numpy()
             vals = grp["v"].to_numpy()
             nonce_pool = os.urandom(GCM_NONCE_BYTES * len(idxs))
             out_subject[idxs] = subj
-            out_kms[idxs] = KMS_ID
+            out_kms[idxs] = KMS_ID if mid is None else f"{KMS_ID}#{mid}"
             out_field[idxs] = pii_column
             for j, (i, v) in enumerate(zip(idxs, vals)):
                 if len(v) == 0:
@@ -171,29 +188,64 @@ def make_decrypt_udf(keys, strict: bool = False, binary: bool = False):
         env = env.reset_index(drop=True)
         present = env["subject_id"].notna()
         for subj, grp in env[present].groupby("subject_id", sort=True):
-            key = resolved.get(subj)
-            aead = AESGCM(key) if key is not None else None
+            versions = _versions(resolved.get(subj))
+            if versions:
+                by_mid = dict(versions)
+                latest_aead = AESGCM(versions[-1][1])
+                # one AESGCM per distinct material in this batch group
+                aead_by_mid: dict = {None: latest_aead}
             idxs = grp.index.to_numpy()
             transfs = grp["used_transformation"].to_numpy()
             datas = grp["data"].to_numpy()
             ivs = grp["initialization_vector"].to_numpy()
-            for i, transf, data, iv in zip(idxs, transfs, datas, ivs):
+            kms_ids = grp["kms_id"].to_numpy()
+            for i, transf, data, iv, kid in zip(idxs, transfs, datas, ivs, kms_ids):
                 if transf == NOOP_TRANSFORMATION:
                     content[i] = b"" if binary else ""
                     continue
-                if aead is None:
+                if not versions:
                     # crypto-shredded subject: tombstone
                     if strict:
                         raise MissingCryptoMaterialsError(str(subj))
                     shredded[i] = True
                     continue
+                # kms_id may carry the material id of the encrypting
+                # key ("<kms>#<mid>"); rows without one (pre-rotation
+                # writers, unversioned maps) use the latest material
+                mid = kid.split("#", 1)[1] if (kid and "#" in kid) else None
+                if mid is not None and mid not in by_mid:
+                    # material destroyed (retired after rotation):
+                    # same contract as a shredded subject
+                    if strict:
+                        raise MissingCryptoMaterialsError(f"{subj} material {mid}")
+                    shredded[i] = True
+                    continue
+                aead = aead_by_mid.get(mid)
+                if aead is None:
+                    aead = aead_by_mid[mid] = AESGCM(by_mid[mid])
+                # a mid-less row under a multi-version map (written
+                # before a rotation) could be under ANY version: GCM
+                # authentication makes try-decrypt exact, so fall back
+                # newest→oldest; a wrong-version guess can never yield
+                # garbage plaintext, only InvalidTag
+                if mid is None and len(versions) > 1:
+                    if "__legacy__" not in aead_by_mid:
+                        aead_by_mid["__legacy__"] = [AESGCM(k) for _, k in reversed(versions)]
+                    candidates = aead_by_mid["__legacy__"]
+                else:
+                    candidates = [aead]
+                plain = None
+                for ci, cand in enumerate(candidates):
+                    try:
+                        plain = cand.decrypt(bytes(iv), bytes(data), None)
+                        break
+                    except InvalidTag as e:
+                        if ci == len(candidates) - 1:
+                            raise InvalidEncryptedMessageError(
+                                f"authentication failed for subject {subj}"
+                            ) from e
                 try:
-                    plain = aead.decrypt(bytes(iv), bytes(data), None)
                     content[i] = plain if binary else plain.decode("utf-8")
-                except InvalidTag as e:
-                    raise InvalidEncryptedMessageError(
-                        f"authentication failed for subject {subj}"
-                    ) from e
                 except UnicodeDecodeError as e:
                     raise InvalidEncryptedMessageError(
                         f"plaintext for subject {subj} is not valid UTF-8"
@@ -201,6 +253,95 @@ def make_decrypt_udf(keys, strict: bool = False, binary: bool = False):
         return pd.DataFrame({"content": content, "shredded": shredded})
 
     return pandas_udf(_decrypt_result(binary))(_decrypt)
+
+
+def make_reencrypt_udf(keys, subjects):
+    """Envelope → envelope rewrite for key rotation
+    (``maintenance.reencrypt``): rows belonging to ``subjects`` whose
+    envelope was sealed under a non-latest material are decrypted with
+    the matching (or try-chained legacy) version and re-encrypted under
+    the LATEST material, with the new material id stamped into
+    ``kms_id``; every other row passes through byte-identical.
+    ``keys`` must be a versioned map (``KeyRegistry.key_map_versioned``,
+    plain or broadcast) — old versions are needed to read, the new one
+    to write. Vectorized like the other swap ops; plaintext exists only
+    transiently inside the UDF batch."""
+    rotate_set = set(subjects)
+
+    def _reenc(env: pd.DataFrame) -> pd.DataFrame:
+        from cryptography.exceptions import InvalidTag
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        resolved = _resolve_keys(keys)
+        env = env.reset_index(drop=True)
+        out_data = env["data"].copy()
+        out_iv = env["initialization_vector"].copy()
+        out_kms = env["kms_id"].copy()
+        present = env["subject_id"].notna()
+        for subj, grp in env[present].groupby("subject_id", sort=True):
+            if subj not in rotate_set:
+                continue
+            versions = _versions(resolved.get(subj))
+            if not versions:
+                raise MissingCryptoMaterialsError(str(subj))
+            by_mid = dict(versions)
+            latest_mid, latest_key = versions[-1]
+            latest_kms = KMS_ID if latest_mid is None else f"{KMS_ID}#{latest_mid}"
+            enc_aead = AESGCM(latest_key)
+            dec_by_mid: dict = {}
+            legacy: list | None = None
+            for i in grp.index.to_numpy():
+                if env.at[i, "used_transformation"] == NOOP_TRANSFORMATION:
+                    continue
+                kid = env.at[i, "kms_id"]
+                mid = kid.split("#", 1)[1] if (kid and "#" in kid) else None
+                if mid == latest_mid:
+                    continue  # already current
+                data, iv = bytes(env.at[i, "data"]), bytes(env.at[i, "initialization_vector"])
+                plain = None
+                if mid is not None:
+                    key = by_mid.get(mid)
+                    if key is None:
+                        raise MissingCryptoMaterialsError(f"{subj} material {mid}")
+                    aead = dec_by_mid.get(mid)
+                    if aead is None:
+                        aead = dec_by_mid[mid] = AESGCM(key)
+                    try:
+                        plain = aead.decrypt(iv, data, None)
+                    except InvalidTag as e:
+                        raise InvalidEncryptedMessageError(
+                            f"authentication failed for subject {subj}"
+                        ) from e
+                else:
+                    # legacy mid-less row: try-chain newest→oldest (GCM
+                    # auth rejects wrong versions exactly)
+                    if legacy is None:
+                        legacy = [AESGCM(k) for _, k in reversed(versions)]
+                    for ci, cand in enumerate(legacy):
+                        try:
+                            plain = cand.decrypt(iv, data, None)
+                            break
+                        except InvalidTag as e:
+                            if ci == len(legacy) - 1:
+                                raise InvalidEncryptedMessageError(
+                                    f"authentication failed for subject {subj}"
+                                ) from e
+                nonce = os.urandom(GCM_NONCE_BYTES)
+                out_data.at[i] = enc_aead.encrypt(nonce, plain, None)
+                out_iv.at[i] = nonce
+                out_kms.at[i] = latest_kms
+        return pd.DataFrame(
+            {
+                "subject_id": env["subject_id"],
+                "kms_id": out_kms,
+                "data": out_data,
+                "personal_data_field": env["personal_data_field"],
+                "used_transformation": env["used_transformation"],
+                "initialization_vector": out_iv,
+            }
+        )
+
+    return pandas_udf(ENVELOPE_SCHEMA)(_reenc)
 
 
 def make_encrypt_udf_keyed(pii_column: str):

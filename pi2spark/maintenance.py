@@ -434,6 +434,118 @@ def shred(
     )
 
 
+def reencrypt(
+    table: Table,
+    spark: SparkSession,
+    keys_versioned,
+    subjects,
+    subject_column: str = "repo",
+    envelope_columns=("content_enc",),
+    pass_id: str | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    wave_files: int = DEFAULT_WAVE_FILES,
+) -> PassResult:
+    """Key-rotation rewrite (A-side versioning — the reference's own
+    TODO, MostRecentMaterialsProvider.java:39-46): rewrite only the
+    data files whose stats/blooms may contain a rotated subject,
+    re-sealing that subject's envelopes under the LATEST material
+    (``crypto.make_reencrypt_udf``); all other files stay untouched
+    manifest entries, all other rows pass through byte-identical.
+    Execution shape is exactly shred's: bloom-targeted inputs,
+    scan-packed waves, a narrow per-batch UDF, no shuffle.
+
+    ``keys_versioned`` must come from ``KeyRegistry.key_map_versioned``
+    (plain dict or broadcast) — old materials decrypt, the latest one
+    encrypts. After this pass commits, ``retire_old_materials``
+    destroys the old key bytes, making any leaked pre-rotation
+    ciphertext (e.g. an expired snapshot's files) unrecoverable."""
+    from pi2spark.crypto import make_reencrypt_udf
+
+    t0 = time.time()
+    subjects = sorted(set(subjects))
+    pass_id = pass_id or _new_pass_id("reencrypt")
+    ledger = PassLedger(table.root, pass_id)
+    if ledger.committed:
+        return PassResult("reencrypt", pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True)
+    if not subjects:
+        return PassResult("reencrypt", pass_id, table.current_snapshot_id(), 0, 0, 0, 0.0, skipped=True)
+
+    snap = table.snapshot()
+    pred = ColumnPredicate(subject_column, "in", values=tuple(subjects))
+    affected = [f for f in snap.files if pred.may_match(f)]
+    if not affected:
+        return PassResult("reencrypt", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
+
+    udf = make_reencrypt_udf(keys_versioned, subjects)
+
+    def reseal(df: DataFrame) -> DataFrame:
+        out = df
+        for env in envelope_columns:
+            if env in df.columns:
+                # NULL envelopes (shredded rows) stay NULL structs
+                out = out.withColumn(
+                    env,
+                    F.when(F.col(env).isNull(), F.lit(None).cast(df.schema[env].dataType)).otherwise(
+                        udf(F.col(env))
+                    ),
+                )
+        return out.select(*df.columns)
+
+    results = _rewrite_files_in_waves(
+        table,
+        spark,
+        ledger,
+        sorted(affected, key=lambda f: f.path),
+        f"reencrypt-{pass_id}",
+        target_bytes=target_file_bytes,
+        transform=reseal,
+        sort_col="zkey",
+        wave_files=wave_files,
+    )
+    removed = [p for r in results for p in r["inputs"]]
+    added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
+    new_snap = table.commit(
+        "reencrypt",
+        added=added,
+        removed_paths=removed,
+        summary={"pass_id": pass_id, "subjects": subjects, "affected_files": len(affected)},
+    )
+    ledger.record_commit(new_snap.snapshot_id)
+    return PassResult(
+        "reencrypt",
+        pass_id,
+        new_snap.snapshot_id,
+        rewritten_files=len(affected),
+        added_files=len(added),
+        rewritten_bytes=sum(f.bytes for f in affected),
+        seconds=time.time() - t0,
+        details={"affected_files": len(affected), "total_files": len(snap.files)},
+    )
+
+
+def rotate_and_reencrypt(
+    table: Table,
+    spark: SparkSession,
+    registry,
+    subject_id: str,
+    retire: bool = True,
+    **kw,
+) -> PassResult:
+    """The complete key-rotation flow: ROTATE (new material), reencrypt
+    the subject's files under it, then (by default) RETIRE the old
+    materials — physically redacting their key bytes from the command
+    log, so only ciphertext sealed under the new key remains readable
+    anywhere."""
+    from pi2spark.crypto import broadcast_keys
+
+    registry.rotate(subject_id)
+    keys = broadcast_keys(spark, registry.key_map_versioned())
+    res = reencrypt(table, spark, keys, [subject_id], **kw)
+    if retire and not res.skipped:
+        registry.retire_old_materials(subject_id)
+    return res
+
+
 def forget_and_shred(table: Table, spark: SparkSession, registry, subject_id: str, **kw) -> PassResult:
     """The complete right-to-be-forgotten flow: FORGET command (key
     deletion — completes the reference's unimplemented branch,

@@ -51,7 +51,9 @@ from dataclasses import dataclass
 from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
 REGISTER = "REGISTER"
+ROTATE = "ROTATE"
 FORGET = "FORGET"
+RETIRE = "RETIRE"
 
 AES_KEY_BITS = 256
 ALGORITHM = "AES"
@@ -109,6 +111,28 @@ class KeyRegistry:
                         algorithm=cmd.get("algorithm", ALGORITHM),
                     )
                 )
+        elif cmd["command"] == ROTATE:
+            # Key versioning — completes the reference's own TODO
+            # (MostRecentMaterialsProvider.java:39-46 "no key versioning
+            # implemented yet"): ROTATE always appends a new material;
+            # the latest one serves new encrypts, older ones keep
+            # historical ciphertext readable until a reencrypt pass
+            # retires them. A redacted ROTATE replays to no material.
+            if cmd.get("key_b64") is not None:
+                self._materials.setdefault(subject, []).append(
+                    Material(
+                        material_id=cmd["material_id"],
+                        subject_id=subject,
+                        key=base64.b64decode(cmd["key_b64"]),
+                        algorithm=cmd.get("algorithm", ALGORITHM),
+                    )
+                )
+        elif cmd["command"] == RETIRE:
+            # Destroy all materials EXCEPT the latest (post-reencrypt
+            # cleanup): replays to a one-material list.
+            mats = self._materials.get(subject)
+            if mats and len(mats) > 1:
+                self._materials[subject] = [mats[-1]]
         elif cmd["command"] == FORGET:
             # Completes the reference's unimplemented branch
             # (KafkaSecretKeyStore.java:247-250).
@@ -183,11 +207,71 @@ class KeyRegistry:
         self._apply(cmd, record=False)
         self._commands.append(cmd)
         for c in self._commands:
-            if c["subject_id"] == subject_id and c["command"] == REGISTER and c.get("key_b64"):
+            if c["subject_id"] == subject_id and c["command"] in (REGISTER, ROTATE) and c.get("key_b64"):
                 c["key_b64"] = None
                 c["redacted"] = True
         if self._path:
             self._rewrite_log()
+
+    def rotate(self, subject_id: str) -> Material:
+        """Append a NEW key version for an existing subject (A-side key
+        rotation — the reference's declared-but-unbuilt versioning,
+        MostRecentMaterialsProvider.java:39-46). New encrypts pick up
+        the new material immediately (``latest_key``/``key_map``); rows
+        encrypted under older materials stay readable through the
+        versioned map (``key_map_versioned``) until a
+        ``maintenance.reencrypt`` pass rewrites them, after which
+        ``retire_old_materials`` destroys the old key bytes."""
+        if not self._materials.get(subject_id):
+            raise KeyError(f"cannot rotate unregistered/forgotten subject {subject_id!r}")
+        key = AESGCM.generate_key(bit_length=AES_KEY_BITS)
+        cmd = {
+            "ts_ord": len(self._commands),
+            "subject_id": subject_id,
+            "command": ROTATE,
+            "material_id": str(uuid.uuid4()),
+            "key_b64": base64.b64encode(key).decode("ascii"),
+            "algorithm": ALGORITHM,
+        }
+        self._apply(cmd)
+        return self._materials[subject_id][-1]
+
+    def retire_old_materials(self, subject_id: str) -> int:
+        """Destroy every material except the latest — the completion of
+        a rotation, AFTER ``maintenance.reencrypt`` has rewritten all
+        ciphertext under the latest key. Like FORGET, the old key bytes
+        are physically redacted from the on-disk log (atomic rewrite),
+        so pre-rotation ciphertext — e.g. in an expired-but-leaked
+        snapshot — becomes permanently unrecoverable. Returns the
+        number of materials destroyed."""
+        mats = self._materials.get(subject_id)
+        if not mats or len(mats) < 2:
+            return 0
+        keep_mid = mats[-1].material_id
+        cmd = {
+            "ts_ord": len(self._commands),
+            "subject_id": subject_id,
+            "command": RETIRE,
+            "material_id": keep_mid,
+            "key_b64": None,
+            "algorithm": None,
+        }
+        self._apply(cmd, record=False)
+        self._commands.append(cmd)
+        n = 0
+        for c in self._commands:
+            if (
+                c["subject_id"] == subject_id
+                and c["command"] in (REGISTER, ROTATE)
+                and c.get("key_b64")
+                and c["material_id"] != keep_mid
+            ):
+                c["key_b64"] = None
+                c["redacted"] = True
+                n += 1
+        if self._path:
+            self._rewrite_log()
+        return n
 
     def _rewrite_log(self) -> None:
         """Atomic full-log rewrite: the only mutation of an otherwise
@@ -216,6 +300,20 @@ class KeyRegistry:
         ``sc.broadcast`` (global-table analogue,
         KafkaSecretKeyStore.java:207-215)."""
         return {s: m[-1].key for s, m in self._materials.items() if m}
+
+    def key_map_versioned(self) -> dict[str, list[tuple[str, bytes]]]:
+        """Materialized ``subject → [(material_id, key), ...]`` map
+        (ordered, latest last) for decrypting tables that span key
+        rotations: the envelope's ``kms_id`` carries the material id of
+        the key that encrypted each row (``pi2spark.crypto``), and the
+        decrypt UDF picks the matching version. Broadcastable exactly
+        like ``key_map`` — ``encrypt_table``/``decrypt_table`` accept
+        either form."""
+        return {
+            s: [(m.material_id, m.key) for m in mats]
+            for s, mats in self._materials.items()
+            if mats
+        }
 
     def key_df(self, spark):
         """Materialized keys as a ``(subject_id string, key binary)``

