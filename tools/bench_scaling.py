@@ -93,6 +93,10 @@ def main() -> None:
             }
             for c in levels
         },
+        # every trial's per-phase timings — lets a later analysis (or a
+        # skeptical reader) see exactly which phases the host-noise
+        # bursts landed on, instead of trusting the min blindly
+        "queries_all": {c: [r["queries"] for r in results[c]] for c in levels},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     for name in ("SCALING.json", f"SCALING_{N}v{4 * N}.json"):
