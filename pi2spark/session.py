@@ -38,6 +38,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("PI2SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Write-path syscall reduction. Hadoop's LocalFileSystem wraps
+        # writes in ChecksumFileSystem (FSOutputSummer flushes ~4.5 KB
+        # chunks + .crc sidecars) over a 4 KB io buffer — ~200k write
+        # syscalls per GB. Raw FS + a 1 MiB buffer cuts that ~100×.
+        # This matches production parity: S3A/ABFS and Iceberg's FileIO
+        # do no client-side .crc either (parquet pages carry their own
+        # checksums), and on this sandbox's hypervisor — where syscalls
+        # intermittently cost 10-100× (see BENCH/BASELINE.md host
+        # caveat) — the syscall count directly bounds write phases.
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        .config("spark.hadoop.io.file.buffer.size", str(1 << 20))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
