@@ -27,6 +27,7 @@ class PassLedger:
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         self._tasks: dict[str, dict] = {}
         self._committed: dict | None = None
+        self._meta: dict[str, object] = {}
         if os.path.exists(self.path):
             with open(self.path, "r", encoding="utf-8") as fh:
                 for line in fh:
@@ -41,6 +42,8 @@ class PassLedger:
                         self._tasks[rec["task_id"]] = rec
                     elif rec.get("type") == "commit":
                         self._committed = rec
+                    elif rec.get("type") == "meta":
+                        self._meta[rec["key"]] = rec["value"]
 
     # -- queries --
 
@@ -79,6 +82,24 @@ class PassLedger:
             "metrics": metrics or {},
         }
         self._tasks[task_id] = rec
+        self._append(rec)
+
+    def meta(self, key: str, default=None):
+        return self._meta.get(key, default)
+
+    def record_meta(self, key: str, value) -> None:
+        """Pass-scoped decision record written BEFORE any task runs —
+        e.g. the material id minted by a rotation pass. A resume reads
+        it back instead of re-deciding, which is what makes passes with
+        side effects outside the table (key mints) idempotent."""
+        rec = {
+            "type": "meta",
+            "pass_id": self.pass_id,
+            "key": key,
+            "value": value,
+            "ts_ms": int(time.time() * 1000),
+        }
+        self._meta[key] = value
         self._append(rec)
 
     def record_commit(self, snapshot_id: int, summary: dict | None = None) -> None:

@@ -187,12 +187,18 @@ def main(argv=None) -> int:
         if not subjects:
             print("error: --subjects required for rotate", file=sys.stderr)
             return 2
-        for i, s in enumerate(subjects):
-            # a supplied --pass-id resumes the i-th subject's pass
-            pid = f"{args.pass_id}-{i}" if args.pass_id else None
+        results = []
+        for s in subjects:
+            # a supplied --pass-id resumes per SUBJECT (not list
+            # position): reordering or shortening --subjects on a
+            # resume must still pair each subject with its own ledger
+            pid = f"{args.pass_id}-{s}" if args.pass_id else None
             r = rotate_and_reencrypt(t, spark, reg, s, target_file_bytes=target,
                                      pass_id=pid)
-        out.update(r.__dict__ | {"details": r.details})
+            results.append(r.__dict__ | {"details": r.details, "subject": s})
+        out["subjects"] = results
+        out["rewritten_files"] = sum(r["rewritten_files"] for r in results)
+        out["seconds"] = sum(r["seconds"] for r in results)
     elif args.command == "verify":
         from pi2spark.verify import content_digest
 

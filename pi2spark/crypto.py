@@ -213,13 +213,27 @@ def make_decrypt_udf(keys, strict: bool = False, binary: bool = False):
                 # key ("<kms>#<mid>"); rows without one (pre-rotation
                 # writers, unversioned maps) use the latest material
                 mid = kid.split("#", 1)[1] if (kid and "#" in kid) else None
+                unversioned = len(versions) == 1 and versions[0][0] is None
+                speculative = False
                 if mid is not None and mid not in by_mid:
-                    # material destroyed (retired after rotation):
-                    # same contract as a shredded subject
-                    if strict:
-                        raise MissingCryptoMaterialsError(f"{subj} material {mid}")
-                    shredded[i] = True
-                    continue
+                    if unversioned:
+                        # The resolved map is an anonymous single version
+                        # (``KeyRegistry.key_map``): the embedded material
+                        # id can never match, but the available key may
+                        # well BE that material (it is, whenever the map
+                        # was materialized after the same rotation that
+                        # sealed this row). Attempt decryption with it —
+                        # AES-GCM authentication makes a wrong-key attempt
+                        # fail exactly, never yield garbage.
+                        mid = None
+                        speculative = True
+                    else:
+                        # material destroyed (retired after rotation):
+                        # same contract as a shredded subject
+                        if strict:
+                            raise MissingCryptoMaterialsError(f"{subj} material {mid}")
+                        shredded[i] = True
+                        continue
                 aead = aead_by_mid.get(mid)
                 if aead is None:
                     aead = aead_by_mid[mid] = AESGCM(by_mid[mid])
@@ -228,22 +242,40 @@ def make_decrypt_udf(keys, strict: bool = False, binary: bool = False):
                 # authentication makes try-decrypt exact, so fall back
                 # newest→oldest; a wrong-version guess can never yield
                 # garbage plaintext, only InvalidTag
-                if mid is None and len(versions) > 1:
+                if mid is None and not unversioned:
+                    # mid-less row under a VERSIONED map: sealed before
+                    # versioning, could be under any surviving version —
+                    # or under one already retired (then every attempt
+                    # fails authentication)
                     if "__legacy__" not in aead_by_mid:
                         aead_by_mid["__legacy__"] = [AESGCM(k) for _, k in reversed(versions)]
                     candidates = aead_by_mid["__legacy__"]
+                    speculative = True
                 else:
                     candidates = [aead]
                 plain = None
+                exhausted = False
                 for ci, cand in enumerate(candidates):
                     try:
                         plain = cand.decrypt(bytes(iv), bytes(data), None)
                         break
                     except InvalidTag as e:
                         if ci == len(candidates) - 1:
+                            # Speculative attempts (embedded-mid row under
+                            # an anonymous map, or mid-less row under a
+                            # multi-version map) that exhaust the chain
+                            # mean the sealing material is no longer in
+                            # the map — destroyed-material contract in
+                            # non-strict mode, not a corruption error.
+                            if speculative and not strict:
+                                exhausted = True
+                                break
                             raise InvalidEncryptedMessageError(
                                 f"authentication failed for subject {subj}"
                             ) from e
+                if exhausted:
+                    shredded[i] = True
+                    continue
                 try:
                     content[i] = plain if binary else plain.decode("utf-8")
                 except UnicodeDecodeError as e:

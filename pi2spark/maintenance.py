@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pi2spark.checkpoint import PassLedger
+from pi2spark.errors import MissingCryptoMaterialsError
 from pi2spark.table import ColumnPredicate, DataFile, Table, collect_data_files
 from pi2spark.zorder import column_boundaries, with_cluster_key
 
@@ -100,7 +101,25 @@ def _rewrite_files_in_waves(
     (distributed via ``collect_data_files`` above its threshold)."""
     stat_cols = table.stats_columns()
     bloom_cols = table.bloom_columns()
-    conf = spark.conf
+    # Isolated child session for the packing scan+write: the overrides
+    # below must not leak into queries planned concurrently on the
+    # caller's session (a streaming micro-batch via append_stream /
+    # forget_stream explicitly may race a maintenance pass).
+    # ``newSession()`` shares the SparkContext (executors, broadcasts,
+    # cache) but owns its SQLConf, so the overrides are invisible
+    # outside this pass.
+    packer = spark.newSession()
+    # target-size packing: maxPartitionBytes bounds the pack,
+    # openCost=0 packs by real size, and minPartitionNum=1 disables
+    # the bytes-per-core split (Spark's default floor of
+    # defaultParallelism partitions would shred the pack back into
+    # core-count pieces and defeat the file-sizing goal)
+    for k, v in {
+        "spark.sql.files.maxPartitionBytes": str(target_bytes),
+        "spark.sql.files.openCostInBytes": "0",
+        "spark.sql.files.minPartitionNum": "1",
+    }.items():
+        packer.conf.set(k, v)
     results: list[dict] = []
     for w, start in enumerate(range(0, len(files), wave_files)):
         wave = files[start : start + wave_files]
@@ -112,35 +131,15 @@ def _rewrite_files_in_waves(
         s = time.time()
         rel_dir, abs_dir = table.new_data_dir(f"{tag}-w{w:05d}")
         paths = [os.path.join(table.root, f.path) for f in wave]
-        # target-size packing: maxPartitionBytes bounds the pack,
-        # openCost=0 packs by real size, and minPartitionNum=1 disables
-        # the bytes-per-core split (Spark's default floor of
-        # defaultParallelism partitions would shred the pack back into
-        # core-count pieces and defeat the file-sizing goal)
-        overrides = {
-            "spark.sql.files.maxPartitionBytes": str(target_bytes),
-            "spark.sql.files.openCostInBytes": "0",
-            "spark.sql.files.minPartitionNum": "1",
-        }
-        saved = {k: conf.get(k, None) for k in overrides}
-        for k, v in overrides.items():
-            conf.set(k, v)
-        try:
-            df = spark.read.parquet(*paths)
-            if transform is not None:
-                df = transform(df)
-            if sort_col is not None and sort_col in df.columns:
-                # restore key order inside each packed partition (the
-                # pack concatenates sorted inputs; one in-memory sort
-                # per ~target-size partition re-merges them)
-                df = df.sortWithinPartitions(sort_col)
-            df.write.mode("overwrite").parquet(abs_dir)
-        finally:
-            for k, v in saved.items():
-                if v is None:
-                    conf.unset(k)
-                else:
-                    conf.set(k, v)
+        df = packer.read.parquet(*paths)
+        if transform is not None:
+            df = transform(df)
+        if sort_col is not None and sort_col in df.columns:
+            # restore key order inside each packed partition (the
+            # pack concatenates sorted inputs; one in-memory sort
+            # per ~target-size partition re-merges them)
+            df = df.sortWithinPartitions(sort_col)
+        df.write.mode("overwrite").parquet(abs_dir)
         rels = [
             os.path.join(rel_dir, n)
             for n in sorted(os.listdir(abs_dir))
@@ -535,13 +534,36 @@ def rotate_and_reencrypt(
     the subject's files under it, then (by default) RETIRE the old
     materials — physically redacting their key bytes from the command
     log, so only ciphertext sealed under the new key remains readable
-    anywhere."""
+    anywhere.
+
+    Resume-safe: the minted material id is written to the pass ledger
+    BEFORE any file is rewritten, and a rerun with the same ``pass_id``
+    reuses that material instead of rotating again. Without this, a
+    resume would mint a fresh material, replay ledger-cached waves that
+    still reference the previous one, and the final retire would
+    destroy the only key those rows were sealed under — silent,
+    permanent data loss. The retire additionally verifies the recorded
+    material is still the registry's latest before redacting anything."""
     from pi2spark.crypto import broadcast_keys
 
-    registry.rotate(subject_id)
+    pass_id = kw.pop("pass_id", None) or _new_pass_id("reencrypt")
+    ledger = PassLedger(table.root, pass_id)
+    minted = ledger.meta("rotated_mid")
+    if minted is None:
+        minted = registry.rotate(subject_id).material_id
+        ledger.record_meta("rotated_mid", minted)
+    elif registry.latest_material_id(subject_id) != minted:
+        # the registry moved on (another rotation) since this pass
+        # minted its material — resuming would seal fresh waves under a
+        # different key than the ledger-cached ones; refuse loudly
+        raise MissingCryptoMaterialsError(
+            f"resume of pass {pass_id!r}: recorded material {minted} is no "
+            f"longer the latest for subject {subject_id!r}; run a fresh "
+            "rotation pass instead of resuming this one"
+        )
     keys = broadcast_keys(spark, registry.key_map_versioned())
-    res = reencrypt(table, spark, keys, [subject_id], **kw)
-    if retire and not res.skipped:
+    res = reencrypt(table, spark, keys, [subject_id], pass_id=pass_id, **kw)
+    if retire and not res.skipped and registry.latest_material_id(subject_id) == minted:
         registry.retire_old_materials(subject_id)
     return res
 

@@ -295,6 +295,14 @@ class KeyRegistry:
         mats = self._materials.get(subject_id)
         return mats[-1].key if mats else None
 
+    def latest_material_id(self, subject_id: str) -> str | None:
+        """Material id of the latest (encrypting) version, or None for
+        a shredded/unknown subject. Used by ``rotate_and_reencrypt`` to
+        make resume idempotent: the pass ledger records the minted id
+        and a rerun verifies it is still the latest before reusing it."""
+        mats = self._materials.get(subject_id)
+        return mats[-1].material_id if mats else None
+
     def key_map(self) -> dict[str, bytes]:
         """Materialized ``subject → latest key`` map, ready for
         ``sc.broadcast`` (global-table analogue,

@@ -128,14 +128,99 @@ def test_retired_material_makes_old_snapshot_unreadable(spark, tmp_path):
 
     # pinned pre-rotation snapshot: sA's envelopes were sealed under the
     # destroyed material — mid-less rows try-chain against the one
-    # remaining (new) key and fail authentication
-    from pi2spark.errors import InvalidEncryptedMessageError  # noqa: F401
+    # remaining (new) key, fail authentication, and (non-strict) take
+    # the destroyed-material tombstone, exactly like a shredded subject;
+    # strict mode still refuses the scan
     old_scan = t.scan(spark, snapshot_id=pre_rotation_snap)
+    sA_old = decrypt_table(old_scan, SPEC, keys2).filter(F.col("repo") == "sA").collect()
+    assert len(sA_old) == 5 and all(r.shredded and r.content is None for r in sA_old)
     with pytest.raises(Exception, match="InvalidEncryptedMessageError|authentication failed"):
-        decrypt_table(old_scan, SPEC, keys2).filter(F.col("repo") == "sA").collect()
+        decrypt_table(old_scan, SPEC, keys2, strict=True).filter(F.col("repo") == "sA").collect()
     # sB untouched by the rotation: still readable in the old snapshot
     ok = decrypt_table(old_scan.filter(F.col("repo") == "sB"), SPEC, keys2, strict=True)
     assert ok.count() == 5
+
+
+def test_rotated_rows_decrypt_with_unversioned_key_map(spark, tmp_path):
+    """r3 ADVICE-high (crypto.py): after `rotate`, a decrypt with the
+    UNVERSIONED ``KeyRegistry.key_map()`` — the exact path the CLI's
+    `verify` command uses — must read the rotated rows, not tombstone
+    them. The embedded material id can never match an anonymous
+    single-version entry, so the decryptor attempts the available key
+    (GCM auth makes a wrong-key attempt fail exactly, never corrupt)."""
+    reg = KeyRegistry(str(tmp_path / "cmd.jsonl"))
+    reg.register_all(["sA", "sB"])
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(str(tmp_path / "tbl"))
+    t.append(encrypt_table(_df(spark, ["sA", "sB"], "t"), SPEC, keys), spark)
+    baseline = content_digest(decrypt_table(t.scan(spark), SPEC, keys))
+
+    rotate_and_reencrypt(t, spark, reg, "sA", subject_column="repo")
+
+    # the post-rotation verify path: unversioned map, strict scan
+    keys_un = broadcast_keys(spark, reg.key_map())
+    out = decrypt_table(t.scan(spark), SPEC, keys_un, strict=True)
+    assert out.filter(F.col("shredded")).count() == 0
+    assert content_digest(decrypt_table(t.scan(spark), SPEC, keys_un)) == baseline
+
+
+def test_rotate_resume_does_not_destroy_material(spark, tmp_path, monkeypatch):
+    """r3 ADVICE-high (maintenance.py): a crashed `rotate_and_reencrypt`
+    resumed with the same pass_id must NOT mint a second material —
+    the ledger records the minted id before any wave runs, the resume
+    reuses it, and retire keeps exactly that material. The old code
+    rotated again on resume, replayed the cached waves (sealed under
+    the first mint), retired everything but the second mint, and
+    permanently destroyed the only key the cached rows referenced."""
+    reg = KeyRegistry(str(tmp_path / "cmd.jsonl"))
+    subjects = ["org0/r", "org1/r"]
+    reg.register_all(subjects)
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(str(tmp_path / "tbl"))
+    t.append(encrypt_table(_df(spark, subjects, "t").repartition(2, "repo"), SPEC, keys), spark)
+    baseline = content_digest(decrypt_table(t.scan(spark), SPEC, keys))
+    victim = subjects[0]
+
+    # crash the pass between the wave rewrites and the table commit
+    orig_commit = Table.commit
+    state = {"crashed": False}
+
+    def crashing_commit(self, op, *a, **k):
+        if op == "reencrypt" and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash before commit")
+        return orig_commit(self, op, *a, **k)
+
+    monkeypatch.setattr(Table, "commit", crashing_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        rotate_and_reencrypt(t, spark, reg, victim, subject_column="repo", pass_id="rot-crash")
+    monkeypatch.setattr(Table, "commit", orig_commit)
+
+    # resume with the SAME pass id: no second mint
+    assert len(reg.key_map_versioned()[victim]) == 2  # v1 + the one mint
+    res = rotate_and_reencrypt(t, spark, reg, victim, subject_column="repo", pass_id="rot-crash")
+    assert not res.skipped
+    mats = reg.key_map_versioned()[victim]
+    assert len(mats) == 1  # retire kept exactly the minted material
+
+    # every row still readable — nothing was sealed under a destroyed key
+    keys2 = broadcast_keys(spark, reg.key_map_versioned())
+    out = decrypt_table(t.scan(spark), SPEC, keys2, strict=True)
+    assert out.filter(F.col("shredded")).count() == 0
+    assert content_digest(decrypt_table(t.scan(spark), SPEC, keys2)) == baseline
+
+    # a DIVERGED registry (someone rotated again) must refuse the resume
+    # rather than mix materials across waves
+    reg.rotate(victim)
+    os.unlink(os.path.join(t.root, "maintenance", "rot-crash.jsonl"))
+    ledger_path = tmp_path / "tbl" / "maintenance"
+    assert ledger_path.exists()
+    import json as _json
+    with open(ledger_path / "rot-div.jsonl", "w") as fh:
+        fh.write(_json.dumps({"type": "meta", "pass_id": "rot-div", "key": "rotated_mid",
+                              "value": "stale-mid", "ts_ms": 0}) + "\n")
+    with pytest.raises(MissingCryptoMaterialsError, match="no longer the latest"):
+        rotate_and_reencrypt(t, spark, reg, victim, subject_column="repo", pass_id="rot-div")
 
 
 def test_forget_after_rotation_redacts_every_version(tmp_path):
