@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from pi2spark.checkpoint import PassLedger
 from pi2spark.errors import MissingCryptoMaterialsError
 from pi2spark.table import ColumnPredicate, DataFile, Table, collect_data_files
-from pi2spark.zorder import column_boundaries, with_cluster_key
+from pi2spark.zorder import column_boundaries, column_boundaries_from_stats, with_cluster_key
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 DEFAULT_CONCURRENCY = 8  # legacy knob, kept for CLI compat (wave mode ignores it)
@@ -240,6 +240,7 @@ def cluster(
     pass_id: str | None = None,
     sample_rows: int = 20_000,
     incremental: bool = False,
+    boundaries_from_stats: bool = True,
 ) -> PassResult:
     """Clustering rewrite on the space-filling-curve key.
 
@@ -279,13 +280,37 @@ def cluster(
         added = [DataFile.from_json(d) for d in prior["outputs"]]
     else:
         df = spark.read.parquet(*[os.path.join(table.root, f.path) for f in in_files])
-        boundaries = column_boundaries(
-            df,
-            list(columns),
-            bits=bits,
-            sample_rows=sample_rows,
-            total_rows=sum(f.rows for f in in_files),  # manifest knows; no count job
+        # boundaries from MANIFEST stats when every input file carries
+        # them — zero Spark jobs (the sample job was this pass's
+        # parallelism-independent fixed cost); sample only as fallback
+        boundaries = (
+            column_boundaries_from_stats(in_files, list(columns), bits=bits)
+            if boundaries_from_stats
+            else None
         )
+        if boundaries is None:
+            # bound the sampling scan to <=32 evenly spaced input files:
+            # boundaries only need approximate quantiles, and an even
+            # stride over the file list is representative whether the
+            # table is unclustered (every file spans everything) or
+            # partially clustered (stride covers the key space). Keeps
+            # the fallback's fixed cost flat as the file count grows.
+            if len(in_files) > 32:
+                stride = len(in_files) / 32.0
+                subset = [in_files[int(i * stride)] for i in range(32)]
+                sample_src = spark.read.parquet(
+                    *[os.path.join(table.root, f.path) for f in subset]
+                )
+                subset_rows = sum(f.rows for f in subset)
+            else:
+                sample_src, subset_rows = df, sum(f.rows for f in in_files)
+            boundaries = column_boundaries(
+                sample_src,
+                list(columns),
+                bits=bits,
+                sample_rows=sample_rows,
+                total_rows=subset_rows,  # manifest knows; no count job
+            )
         bc = spark.sparkContext.broadcast(boundaries)
         keyed = with_cluster_key(df, columns, bits=bits, curve=curve, boundaries=boundaries, broadcast=bc)
         # NO persist of the keyed frame. repartitionByRange runs an

@@ -134,10 +134,17 @@ def forget_stream(
     Exactly-once across restarts: the shred pass_id is derived from the
     micro-batch id, so a replayed batch finds its committed PassLedger
     and skips; ``registry.forget`` is idempotent by construction.
-    REGISTER commands in the stream are honored too (idempotent
-    get-or-create), completing the reference's command vocabulary."""
-    from pi2spark.maintenance import shred
-    from pi2spark.registry import FORGET, REGISTER
+    REGISTER commands are honored too (idempotent get-or-create), and
+    ROTATE runs the full ``rotate_and_reencrypt`` flow per subject
+    mid-stream — new material minted, the subject's files re-sealed,
+    old materials retired — completing the reference's command
+    vocabulary (``kms/kafka_provider.proto:6-21``). A replayed ROTATE
+    batch is safe end-to-end: the rotation pass records its minted
+    material id in the pass ledger before any rewrite, so the replay
+    reuses it instead of minting again (see
+    ``maintenance.rotate_and_reencrypt``)."""
+    from pi2spark.maintenance import rotate_and_reencrypt, shred
+    from pi2spark.registry import FORGET, REGISTER, ROTATE
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -158,6 +165,22 @@ def forget_stream(
                 subject_column=subject_column,
                 envelope_columns=envelope_columns,
                 pass_id=f"{query_name}-batch{batch_id:08d}",
+                target_file_bytes=target_file_bytes,
+            )
+        # ROTATE after FORGET: a subject both forgotten and rotated in
+        # one batch stays forgotten (rotate refuses unknown subjects)
+        rotations = sorted(
+            {r.subject_id for r in rows if r.command == ROTATE} - set(victims)
+        )
+        for s in rotations:
+            rotate_and_reencrypt(
+                table,
+                spark,
+                registry,
+                s,
+                subject_column=subject_column,
+                envelope_columns=envelope_columns,
+                pass_id=f"{query_name}-rot-b{batch_id:08d}-{s}",
                 target_file_bytes=target_file_bytes,
             )
 
