@@ -60,6 +60,25 @@ def brute_force_topk(
     )
 
 
+def rademacher_planes(dim: int, n_planes: int, tag: str = "pi2spark-lsh") -> list[list[float]]:
+    """Deterministic ±1 (Rademacher) hyperplanes derived from md5 —
+    reproducible in ANY engine that has md5, which is what makes an
+    LSH ANN query oracle-checkable across Spark and DuckDB (same trick
+    as the md5-based MinHash oracle). Sign-random-projection LSH only
+    needs symmetric zero-mean components; ±1 planes are a standard
+    choice (Achlioptas-style sparse/sign random projections)."""
+    import hashlib
+
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{tag}:{j}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:8], 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
 def make_lsh_bucket_udf(dim: int | None = None, n_planes: int = 16, seed: int = 42):
     """embedding → LSH bucket id (sign pattern over seeded random
     hyperplanes). The plane matrix is generated deterministically on
