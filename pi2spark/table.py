@@ -213,6 +213,77 @@ def collect_data_files(
         return list(ex.map(one, rel_paths))
 
 
+def rewrite_file_groups(
+    root: str,
+    groups: Sequence[tuple[str, Sequence[str]]],
+    spark: SparkSession,
+    stat_cols: Sequence[str],
+    bloom_cols: Sequence[str] = DEFAULT_BLOOM_COLUMNS,
+    sort_col: str | None = None,
+) -> list[DataFile]:
+    """Order-preserving distributed merge writer: one task per group,
+    each task pyarrow-reads its (consecutive) input files, optionally
+    re-sorts on ``sort_col``, writes ONE output file, and computes its
+    stats + blooms in the same task — a single shuffle-free Spark job
+    with no read-back pass for stats.
+
+    This exists because Spark's scan packing cannot preserve file
+    order (FileSourceScan sorts splits by size before binning), which
+    the cluster() merge path requires: consecutive zkey-ordered inputs
+    must land in the same output file for the per-file ranges to stay
+    disjoint. The data plane is pyarrow C++ in the Python worker —
+    rows never cross into the JVM; only the manifest entries return.
+
+    ``groups`` is ``[(out_rel_path, [in_rel_paths...]), ...]``; task
+    memory is bounded by the decompressed size of one group, so size
+    groups to the compaction target (not more)."""
+    cols = list(stat_cols)
+    bcols = list(bloom_cols)
+    rootv = root
+    sortv = sort_col
+
+    def work(item):
+        out_rel, rels = item
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tables = [pq.read_table(os.path.join(rootv, r)) for r in rels]
+        tbl = tables[0] if len(tables) == 1 else pa.concat_tables(tables, promote_options="permissive")
+        if sortv and sortv in tbl.column_names:
+            tbl = tbl.sort_by(sortv)
+        out_abs = os.path.join(rootv, out_rel)
+        tmp = out_abs + ".inprogress"
+        pq.write_table(tbl, tmp, compression="snappy")
+        os.rename(tmp, out_abs)
+        rows, size, stats, blooms = _footer_stats(out_abs, cols, bcols)
+        return (out_rel, rows, size, json.dumps(stats), json.dumps(blooms))
+
+    sc = spark.sparkContext
+    results = sc.parallelize(list(groups), len(groups)).map(work).collect()
+    return [
+        DataFile(path=p, rows=r, bytes=b, stats=json.loads(s), blooms=json.loads(bl))
+        for p, r, b, s, bl in results
+    ]
+
+
+def pack_consecutive(files: Sequence["DataFile"], target_bytes: int) -> list[list["DataFile"]]:
+    """Order-preserving first-fit: consecutive files accumulate into a
+    group until adding the next would exceed ``target_bytes`` (a group
+    always takes at least one file)."""
+    out: list[list[DataFile]] = []
+    cur: list[DataFile] = []
+    cur_bytes = 0
+    for f in files:
+        if cur and cur_bytes + f.bytes > target_bytes:
+            out.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += f.bytes
+    if cur:
+        out.append(cur)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # pruning predicates (B2)
 # ---------------------------------------------------------------------------
@@ -668,6 +739,47 @@ class Table:
         os.makedirs(absd, exist_ok=True)
         return rel, absd
 
+    def _persist_schema(self, schema) -> None:
+        """Record the data-file schema in table metadata (write-once
+        per distinct schema, atomic rename). Iceberg keeps the schema
+        in metadata for the same reason: every internal read can pass
+        it to the reader explicitly, skipping the footer-read schema-
+        inference JOB Spark otherwise runs per ``spark.read.parquet``
+        — a parallelism-independent fixed cost paid by every pass.
+        Schema changes here are additive only (``zkey`` appears after
+        the first clustering), so last-write-wins is safe."""
+        import json as _json
+
+        path = os.path.join(self._meta_dir, "schema.json")
+        payload = schema.json()
+        if os.path.exists(path):
+            with open(path, "r", encoding="utf-8") as fh:
+                if fh.read() == payload:
+                    return
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+        os.rename(tmp, path)
+
+    def data_schema(self):
+        """The persisted data-file schema (StructType), or None for a
+        pre-write table."""
+        path = os.path.join(self._meta_dir, "schema.json")
+        if not os.path.exists(path):
+            return None
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        with open(path, "r", encoding="utf-8") as fh:
+            return StructType.fromJson(_json.load(fh))
+
+    def reader(self, spark: SparkSession):
+        """DataFrameReader with the table schema pre-applied when
+        known — no schema-inference job."""
+        schema = self.data_schema()
+        return spark.read.schema(schema) if schema is not None else spark.read
+
     def write_files(
         self,
         df: DataFrame,
@@ -679,6 +791,7 @@ class Table:
         and return manifest entries with footer stats. One output file
         per Spark partition — callers control file sizing via
         repartition/coalesce before calling."""
+        self._persist_schema(df.schema)
         rel_dir, abs_dir = self.new_data_dir(tag)
         df.write.mode("append").parquet(abs_dir)
         rels = [
@@ -733,13 +846,17 @@ class Table:
         filtering (stats pruning is necessary-not-sufficient)."""
         snap, files = self.plan_files(snapshot_id, filters)
         if not files:
-            # empty relation with the table schema: scan any one parent file
-            all_files = snap.files
-            if not all_files:
-                raise Pi2SparkError("cannot scan an empty table without schema")
-            df = spark.read.parquet(os.path.join(self.root, all_files[0].path)).limit(0)
+            schema = self.data_schema()
+            if schema is not None:
+                df = spark.createDataFrame([], schema)
+            else:
+                # empty relation with the table schema: scan any one parent file
+                all_files = snap.files
+                if not all_files:
+                    raise Pi2SparkError("cannot scan an empty table without schema")
+                df = spark.read.parquet(os.path.join(self.root, all_files[0].path)).limit(0)
         else:
-            df = spark.read.parquet(*[os.path.join(self.root, f.path) for f in files])
+            df = self.reader(spark).parquet(*[os.path.join(self.root, f.path) for f in files])
         if columns:
             df = df.select(*columns)
         return df

@@ -38,6 +38,9 @@ def run_once(cpus: int) -> dict:
             "SPARK_GRAFT_SF_DIR": SF_DIR,
             "BENCH_ROWS": ROWS,
             "BENCH_SKIP_ANALYTICS": "1",
+            # this harness interleaves its own trials across levels;
+            # bench.py's internal multi-trial loop must not double it
+            "BENCH_TRIALS": "1",
         }
     )
     out = subprocess.run(
@@ -85,6 +88,15 @@ def main() -> None:
         "gb_per_hr_best": thr,
         "efficiency_min_based": round(eff_min, 3),
         "efficiency_median_based": round(eff_med, 3),
+        # phase-min-sum: per-phase minima are each the least-
+        # contaminated estimate of that phase; their sum is the best
+        # estimate of a clean end-to-end run (a single trial with NO
+        # stall in ANY phase is rarer than clean windows per phase)
+        "efficiency_phase_min": round(
+            sum(min(r["queries"][k] for r in results[N]) for k in results[N][0]["queries"])
+            / (4 * sum(min(r["queries"][k] for r in results[4 * N]) for k in results[4 * N][0]["queries"])),
+            3,
+        ),
         "pass_0p8": eff_min >= 0.8,
         "queries_min": {
             c: {
