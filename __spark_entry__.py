@@ -253,6 +253,25 @@ def _minhash_md5_sql(dialect: str, table: str) -> str:
     """
 
 
+def _pii_scrub_sql() -> str:
+    """DuckDB twin of textops.pii_scrub, built from the SAME pattern
+    dict so the two engines can never drift."""
+    from pi2spark.textops import PII_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{k}" for k, p in PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for k, p in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{p}', '<{k.upper()}>', 'g')"
+    return f"""
+            SELECT doc_id,
+                   {counts},
+                   md5({scrub}) AS scrubbed_md5
+            FROM documents
+        """
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -396,6 +415,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _load(spark, sf_dir, "documents")
         norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
         return docs.select("doc_id", F.md5(norm).alias("fp_md5"))
+
+    def q_pii_scrub(spark, sf_dir):
+        # credential/PII scrubbing (textops.pii_scrub): per-category
+        # counts + md5 of the sequentially scrubbed text, all JVM
+        # regexp — the DuckDB oracle replays the identical patterns
+        from pi2spark.textops import pii_scrub
+
+        return pii_scrub(_load(spark, sf_dir, "documents"))
 
     def q_ngram_jaccard(spark, sf_dir):
         return ngram_jaccard_pairs(_load(spark, sf_dir, "documents")).select(
@@ -762,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "pii_scrub": q_pii_scrub,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_verified": q_near_dup_verified,
         "dedup_components": q_dedup_components,
@@ -904,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
             FROM documents
         """,
+        "pii_scrub": _pii_scrub_sql(),
         "ngram_jaccard": r"""
             WITH toks AS (
               SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t

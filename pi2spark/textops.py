@@ -112,6 +112,47 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+# Credential/PII scrubbing patterns — conservative subsets valid in
+# BOTH Java regex (Spark) and RE2 (DuckDB), so the operator is
+# oracle-checkable cross-engine. The secret pattern is the AWS-style
+# access-key shape — the classic source-code-corpus leak.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
+    "secret": r"AKIA[0-9A-Z]{16}",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_text: bool = False,
+) -> DataFrame:
+    """PII/credential scrubbing for text/source-code corpora: count
+    each category on the raw text, then sequentially replace every
+    match with ``<CATEGORY>`` (email → ipv4 → phone → secret — fixed
+    order so engines agree on overlaps). Pure JVM ``regexp_replace``
+    inside whole-stage codegen; the training-data-pipeline sibling of
+    the engine's envelope-crypto protection (pi2schema redacts by key
+    destruction; a corpus pipeline must also redact by pattern before
+    the text ever becomes training data). Output carries the scrubbed
+    text's md5 (value-hash-comparable) and optionally the text."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(p), 0)).alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+    scrubbed = t
+    for k, p in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, p, f"<{k.upper()}>")
+    cols = [F.col(id_col), *counts, F.md5(scrubbed).alias("scrubbed_md5")]
+    if keep_text:
+        cols.append(scrubbed.alias("scrubbed_text"))
+    return df.select(*cols)
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized lowercase text (canonical content hash),
