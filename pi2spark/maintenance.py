@@ -330,26 +330,38 @@ def cluster(
             ordered[i].stats["zkey"][1] <= ordered[i + 1].stats["zkey"][0]
             for i in range(len(ordered) - 1)
         ):
-            prior = ledger.task_result("merge")
-            if prior:
-                added = [DataFile.from_json(d) for d in prior["outputs"]]
-                removed = prior["inputs"]
-            else:
-                # Spark's scan packing cannot preserve file order (it
-                # sorts splits by size), so the merge uses the
-                # order-preserving group writer: consecutive packing +
-                # one pyarrow task per output file, stats in-task —
-                # ONE job, zero shuffles, zero read-back.
-                rel_dir, _ = table.new_data_dir(f"{curve}-merge-{pass_id}")
-                packs = pack_consecutive(ordered, target_file_bytes)
+            # Spark's scan packing cannot preserve file order (it
+            # sorts splits by size), so the merge uses the
+            # order-preserving group writer: consecutive packing +
+            # one pyarrow task per output file, stats in-task —
+            # zero shuffles, zero read-back. Groups run in WAVES of
+            # ``wave_files`` inputs (one job per wave, one ledger task
+            # each): resume granularity and the driver's in-flight
+            # path-list stay bounded at 10^6-file scale.
+            packs = pack_consecutive(ordered, target_file_bytes)
+            added, removed = [], []
+            wave_packs: list[list] = [[]]
+            for pack in packs:
+                if sum(len(p) for p in wave_packs[-1]) + len(pack) > DEFAULT_WAVE_FILES and wave_packs[-1]:
+                    wave_packs.append([])
+                wave_packs[-1].append(pack)
+            for w, wpacks in enumerate(wave_packs):
+                task_id = f"merge-w{w:05d}"
+                prior = ledger.task_result(task_id)
+                if prior:
+                    added.extend(DataFile.from_json(d) for d in prior["outputs"])
+                    removed.extend(prior["inputs"])
+                    continue
+                ws = time.time()
+                rel_dir, _ = table.new_data_dir(f"{curve}-merge-{pass_id}-w{w:05d}")
                 groups = [
                     (
                         os.path.join(rel_dir, f"part-{i:05d}.parquet"),
                         [f.path for f in pack],
                     )
-                    for i, pack in enumerate(packs)
+                    for i, pack in enumerate(wpacks)
                 ]
-                added = rewrite_file_groups(
+                wave_added = rewrite_file_groups(
                     table.root,
                     groups,
                     spark,
@@ -357,17 +369,19 @@ def cluster(
                     bloom_cols=table.bloom_columns(),
                     sort_col="zkey",
                 )
-                removed = [f.path for f in ordered]
+                wave_removed = [f.path for pack in wpacks for f in pack]
                 ledger.record_task(
-                    "merge",
+                    task_id,
                     {
-                        "inputs": removed,
-                        "outputs": [a.to_json() for a in added],
-                        "rows": sum(a.rows for a in added),
-                        "bytes_in": total_bytes,
+                        "inputs": wave_removed,
+                        "outputs": [a.to_json() for a in wave_added],
+                        "rows": sum(a.rows for a in wave_added),
+                        "bytes_in": sum(f.bytes for pack in wpacks for f in pack),
                     },
-                    metrics={"seconds": time.time() - t0, "n_groups": len(groups)},
+                    metrics={"seconds": time.time() - ws, "n_groups": len(groups)},
                 )
+                added.extend(wave_added)
+                removed.extend(wave_removed)
             new_snap = table.commit(
                 curve,
                 added=added,
@@ -774,15 +788,23 @@ def expire_snapshots(
     meta["snapshots"] = retained
     table._write_version(version + 1, meta)
 
-    # Best-effort physical cleanup; idempotent and re-runnable.
-    for rel in sorted(deletable):
-        p = os.path.join(table.root, rel)
+    # Best-effort physical cleanup; idempotent and re-runnable. A
+    # thread pool overlaps the unlink round-trips — on object storage
+    # these are HTTP DELETEs (batchable), and even locally this host's
+    # intermittent syscall stalls made serial deletes the expire
+    # phase's entire cost.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _rm(p: str) -> None:
         if os.path.exists(p):
             os.remove(p)
-    for name in sorted(deletable_meta):
-        mp = os.path.join(table._meta_dir, name)
-        if os.path.exists(mp):
-            os.remove(mp)
+
+    targets = [os.path.join(table.root, rel) for rel in sorted(deletable)] + [
+        os.path.join(table._meta_dir, name) for name in sorted(deletable_meta)
+    ]
+    if targets:
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(_rm, targets))
     return {
         "expired_snapshots": len(expired),
         "deleted_files": len(deletable),

@@ -197,3 +197,36 @@ def test_recluster_merge_path_no_shuffle(spark, tmp_path):
     out = t.scan(spark)
     assert out.count() == 3000
     assert out.select("content").distinct().count() == 3000
+
+
+def test_recluster_merge_waves_and_resume(spark, tmp_path, monkeypatch):
+    """The merge path runs in bounded waves with per-wave ledger tasks;
+    a resume replays completed waves from the ledger."""
+    import pi2spark.maintenance as M
+    from pi2spark.checkpoint import PassLedger
+    from pi2spark.maintenance import cluster
+    from pi2spark.table import Table
+    from pi2spark.verify import content_digest
+
+    rows = [
+        (f"org{i % 23:02d}/r", f"src/m{i % 7}/f{i}.py", f"{i:040x}",
+         ["python", "go", "rust"][i % 3], f"content-{i}-" + "x" * 400)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    t = Table.create(str(tmp_path / "tbl"))
+    t.append(df.repartition(8), spark)
+    cluster(t, spark, target_file_bytes=8 << 10)
+    base = content_digest(t.scan(spark).withColumn("shredded", F.lit(False)))
+
+    monkeypatch.setattr(M, "DEFAULT_WAVE_FILES", 4)
+    r = cluster(t, spark, target_file_bytes=16 << 10, pass_id="merge-waved")
+    assert r.details.get("mode") == "merge-no-shuffle"
+    ledger = PassLedger(t.root, "merge-waved")
+    waves = [k for k in ledger.completed_tasks() if k.startswith("merge-w")]
+    assert len(waves) > 1  # genuinely waved
+    assert content_digest(t.scan(spark).withColumn("shredded", F.lit(False))) == base
+
+    # resume after commit: no-op
+    r2 = cluster(t, spark, target_file_bytes=16 << 10, pass_id="merge-waved")
+    assert r2.skipped
