@@ -253,6 +253,25 @@ def _minhash_md5_sql(dialect: str, table: str) -> str:
     """
 
 
+_MIXTURE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _mixture_sample_sql() -> str:
+    """DuckDB twin of textops.mixture_sample at _MIXTURE_FRACTIONS."""
+    from pi2spark.textops import SAMPLE_BUCKETS
+
+    case = " ".join(
+        f"WHEN '{s}' THEN {int(f * SAMPLE_BUCKETS)}"
+        for s, f in sorted(_MIXTURE_FRACTIONS.items())
+    )
+    return f"""
+            SELECT doc_id, source FROM documents
+            WHERE (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', '42')), 1, 8)) AS BIGINT)
+                   % {SAMPLE_BUCKETS})
+                  < CASE source {case} ELSE 0 END
+        """
+
+
 def _pii_scrub_sql() -> str:
     """DuckDB twin of textops.pii_scrub, built from the SAME pattern
     dict so the two engines can never drift."""
@@ -415,6 +434,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _load(spark, sf_dir, "documents")
         norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
         return docs.select("doc_id", F.md5(norm).alias("fp_md5"))
+
+    def q_mixture_sample(spark, sf_dir):
+        # deterministic training-mixture sampling (textops.mixture_
+        # sample): per-source hash-bucket fractions, reproducible
+        # across engines/partitionings — DuckDB replays the identical
+        # md5 bucket math
+        from pi2spark.textops import mixture_sample
+
+        docs = _load(spark, sf_dir, "documents")
+        return mixture_sample(docs, _MIXTURE_FRACTIONS).select("doc_id", "source")
 
     def q_pii_scrub(spark, sf_dir):
         # credential/PII scrubbing (textops.pii_scrub): per-category
@@ -790,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "pii_scrub": q_pii_scrub,
+        "mixture_sample": q_mixture_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_verified": q_near_dup_verified,
         "dedup_components": q_dedup_components,
@@ -933,6 +963,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_scrub": _pii_scrub_sql(),
+        "mixture_sample": _mixture_sample_sql(),
         "ngram_jaccard": r"""
             WITH toks AS (
               SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t

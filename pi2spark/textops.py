@@ -112,6 +112,49 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+SAMPLE_BUCKETS = 1_000_000
+
+
+def _sample_bucket(key: F.Column, seed: int) -> F.Column:
+    """Deterministic uniform bucket in [0, SAMPLE_BUCKETS): first 8 hex
+    chars of md5(key:seed) — reproducible across engines (DuckDB
+    mirrors it exactly), runs, and partitionings, unlike
+    ``DataFrame.sample`` whose output depends on partition layout."""
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(seed))))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % SAMPLE_BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by content-hash bucket.
+    The selection is a pure row-local filter (codegen, pushes down past
+    joins on the key), stable under repartitioning and appends — the
+    property training-data pipelines need so a re-run reproduces the
+    exact corpus."""
+    return df.filter(_sample_bucket(F.col(key_col), seed) < int(fraction * SAMPLE_BUCKETS))
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Training-data mixture weighting: per-source deterministic hash
+    sampling (e.g. ``{"web": 0.1, "code": 1.0, "books": 0.5}``).
+    Sources absent from ``fractions`` are dropped. One filter, no
+    shuffle, no UDF; at 100 TB this runs at scan speed with the
+    predicate pushed to the reader."""
+    frac = None
+    for s, f in sorted(fractions.items()):
+        cond = F.when(F.col(source_col) == s, F.lit(int(f * SAMPLE_BUCKETS)))
+        frac = cond if frac is None else frac.when(F.col(source_col) == s, F.lit(int(f * SAMPLE_BUCKETS)))
+    frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
+    return df.filter(_sample_bucket(F.col(key_col), seed) < frac)
+
+
 # Credential/PII scrubbing patterns — conservative subsets valid in
 # BOTH Java regex (Spark) and RE2 (DuckDB), so the operator is
 # oracle-checkable cross-engine. The secret pattern is the AWS-style

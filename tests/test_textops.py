@@ -176,3 +176,27 @@ def test_pii_scrub_masks_and_counts(spark):
     assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone, out[3].n_secret) == (0, 0, 0, 0)
     assert out[3].scrubbed_text == rows[2][1]
     assert out[4].n_email == 2 and out[4].n_ipv4 == 1
+
+
+def test_hash_and_mixture_sample_deterministic(spark):
+    from pi2spark.textops import hash_sample, mixture_sample
+
+    rows = [(i, f"src{i % 4}", f"t{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    s1 = {r.doc_id for r in hash_sample(df, 0.3).collect()}
+    # stable under repartitioning (df.sample is not)
+    s2 = {r.doc_id for r in hash_sample(df.repartition(13), 0.3).collect()}
+    assert s1 == s2
+    assert 0.25 < len(s1) / 2000 < 0.35  # close to the fraction
+    # different seed → different (but same-sized-ish) selection
+    s3 = {r.doc_id for r in hash_sample(df, 0.3, seed=7).collect()}
+    assert s3 != s1
+
+    mix = mixture_sample(df, {"src0": 1.0, "src1": 0.5, "src2": 0.0})
+    got = mix.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in got}
+    assert by.get("src0") == 500           # fraction 1.0 keeps all
+    assert 200 < by.get("src1", 0) < 300   # ~0.5
+    assert "src2" not in by                # 0.0 drops
+    assert "src3" not in by                # absent → dropped
