@@ -378,6 +378,22 @@ def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
     return pandas_udf(T.ArrayType(T.LongType()))(_sig)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """CPU-heavy Arrow UDFs must not inherit a 1-partition layout from
+    a small-file scan (a 20 MB parquet is one partition under the
+    default 128 MB ``maxPartitionBytes``, which would run the
+    shingling kernel on ONE core of N — measured 5× on the sf0.1
+    documents table). A narrow repartition of the input costs one tiny
+    shuffle and unlocks every core; it is a no-op when the scan
+    already has enough partitions, which is always true at the 100 TB
+    target."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -387,7 +403,7 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     udf = make_minhash_udf(num_hashes, shingle_k, seed)
-    return df.select(F.col(id_col), udf(F.col(text_col)).alias("sig"))
+    return _ensure_parallelism(df).select(F.col(id_col), udf(F.col(text_col)).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -630,7 +646,7 @@ def simhash_near_dups(
     4-way chunk explode as payload (8 bytes × 4 — cheap, no rejoin
     needed); degenerate buckets are capped via ``bucketed_pairs``."""
     sim = make_simhash_udf(seed)
-    sigs = df.select(F.col(id_col), sim(F.col(text_col)).alias("sh"))
+    sigs = _ensure_parallelism(df).select(F.col(id_col), sim(F.col(text_col)).alias("sh"))
     chunks = sigs.select(
         id_col,
         "sh",
