@@ -308,3 +308,36 @@ def test_stale_version_hint_self_heals(tmp_path):
     # and a commit on the healed table succeeds without a retry storm
     snap = t.commit("append", added=[DataFile(path="data/c.parquet", rows=1, bytes=10)])
     assert snap.snapshot_id == 3
+
+
+def test_packing_confs_do_not_leak_to_caller_session(spark, tmp_path):
+    """r3 ADVICE-medium: scan-packing overrides (maxPartitionBytes etc.)
+    must be invisible to the caller's session — a streaming micro-batch
+    planned concurrently must see the normal confs."""
+    from pyspark.sql import Row
+
+    from pi2spark.crypto import broadcast_keys, encrypt_table
+    from pi2spark.maintenance import _packer_session, compact
+    from pi2spark.registry import KeyRegistry
+    from pi2spark.spec import ProtectionSpec
+    from pi2spark.table import Table
+
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    packer = _packer_session(spark, 4 << 20)
+    assert packer.conf.get("spark.sql.files.maxPartitionBytes") == str(4 << 20)
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes", None) == before
+    # cached per (context, target): same object back, no rebuild
+    assert _packer_session(spark, 4 << 20) is packer
+    assert _packer_session(spark, 8 << 20) is not packer
+
+    # end-to-end: a compact pass leaves the caller session's confs alone
+    spec = ProtectionSpec.for_source_files()
+    reg = KeyRegistry(str(tmp_path / "cmd.jsonl"))
+    rows = [Row(repo="o/r", path=f"f{i}.py", commit=f"{i:040x}", lang="py",
+                content=f"c{i}") for i in range(50)]
+    reg.register("o/r")
+    t = Table.create(str(tmp_path / "tbl"))
+    t.append(encrypt_table(spark.createDataFrame(rows).repartition(4), spec,
+                           broadcast_keys(spark, reg.key_map())), spark)
+    compact(t, spark, target_file_bytes=1 << 20)
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes", None) == before
