@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the pure kernels — the pieces
+whose correctness everything else leans on: curve bijectivity, boundary
+projection monotonicity, consecutive packing invariants, header
+sniffing totality."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pi2spark.multimodal import sniff_media_header
+from pi2spark.table import DataFile, pack_consecutive
+from pi2spark.zorder import (
+    _proj_str,
+    _scaled_buckets,
+    hilbert_index_np,
+    morton_interleave_np,
+)
+
+ascii_text = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20)
+
+
+@given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)), min_size=1, max_size=50))
+def test_morton_bijective_on_grid(coords):
+    arr = np.asarray(coords, dtype=np.uint64)
+    out = morton_interleave_np(arr, bits=8)
+    # injective: distinct coords -> distinct codes
+    assert len(set(out.tolist())) == len({tuple(c) for c in coords})
+
+
+@given(st.integers(1, 6))
+@settings(max_examples=6, deadline=None)
+def test_hilbert_permutation_any_bits(bits):
+    n = 1 << bits
+    coords = np.array([[x, y] for x in range(n) for y in range(n)], dtype=np.uint64)
+    idx = hilbert_index_np(coords, bits=bits)
+    assert sorted(idx.tolist()) == list(range(n * n))
+
+
+@given(ascii_text, ascii_text)
+def test_proj_str_order_consistent(a, b):
+    # projection may collapse (it truncates to 8 chars) but must never
+    # INVERT: a < b implies proj(a) <= proj(b)
+    if a < b:
+        assert _proj_str(a) <= _proj_str(b)
+
+
+@given(st.lists(ascii_text, min_size=1, max_size=30), st.lists(ascii_text, min_size=1, max_size=30))
+def test_scaled_buckets_monotone(bounds, vals):
+    b = np.asarray(sorted(set(bounds)), dtype=object)
+    v = np.asarray(sorted(vals), dtype=object)
+    out = _scaled_buckets(b, v, bits=8)
+    assert bool(np.all(np.diff(out) >= 0))
+    assert out.min() >= 0 and out.max() < (1 << 8)
+
+
+@given(st.lists(st.integers(1, 10_000), min_size=1, max_size=100), st.integers(1, 20_000))
+def test_pack_consecutive_invariants(sizes, target):
+    files = [DataFile(path=f"f{i:04d}", rows=1, bytes=s, stats={}) for i, s in enumerate(sizes)]
+    packs = pack_consecutive(files, target)
+    flat = [f.path for p in packs for f in p]
+    assert flat == [f.path for f in files]  # order preserved, nothing lost
+    for p in packs:
+        assert p  # no empty groups
+        # a group only exceeds target when it is a single oversized file
+        if sum(f.bytes for f in p) > target:
+            assert len(p) == 1 or sum(f.bytes for f in p[:-1]) <= target
+
+
+@given(st.binary(max_size=200))
+def test_sniff_never_raises(payload):
+    out = sniff_media_header(payload)
+    assert set(out) == {"format", "width", "height", "sample_rate_hz", "channels", "duration_ms"}
