@@ -1,0 +1,109 @@
+"""Attribute maintenance-chain wall time to Spark jobs vs driver gaps.
+
+Runs one chain with spark.eventLog enabled, marks phase boundaries,
+then parses the (zstd) event log: per phase, total job-active seconds
+vs the driver-side gap. This is the instrument that found the round-4
+fixed costs (schema-inference jobs, uncached packer session): a gap
+that stays constant across core counts is exactly what divides N->4N
+efficiency below 1.
+
+Usage: python tools/job_attribution.py [cores] [rows]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    logdir = tempfile.mkdtemp(prefix="pi2spark-evlog-")
+
+    from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
+    from pi2spark.maintenance import cluster, compact, expire_snapshots, shred
+    from pi2spark.registry import KeyRegistry
+    from pi2spark.session import get_spark
+    from pi2spark.spec import ProtectionSpec
+    from pi2spark.synth import synthesize_source_files
+    from pi2spark.table import Table
+    from pi2spark.verify import content_digest
+
+    spark = get_spark(
+        "job-attribution",
+        cores=cores,
+        extra_conf={"spark.eventLog.enabled": "true", "spark.eventLog.dir": f"file://{logdir}"},
+    )
+    spec = ProtectionSpec.for_source_files()
+    plain = synthesize_source_files(spark, n, seed=42, partitions=max(8, n // 500), max_len=50_000).cache()
+    plain.count()
+    root = tempfile.mkdtemp(prefix="attr-")
+    reg = KeyRegistry(os.path.join(root, "kms.jsonl"))
+    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(os.path.join(root, "tbl"))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(0, cores * 4, numPartitions=cores).select(_warm("id")).count()
+
+    marks = {}
+
+    def mark(name, fn):
+        t0 = time.time()
+        r = fn()
+        marks[name] = (t0, time.time())
+        return r
+
+    mark("encrypt", lambda: t.append(encrypt_table(plain, spec, keys), spark))
+    tb = max(sum(f.bytes for f in t.snapshot().files) // 64, 8 << 20)
+    mark("compact", lambda: compact(t, spark, target_file_bytes=tb))
+    mark("zorder", lambda: cluster(t, spark, curve="morton", target_file_bytes=tb, bits=16))
+    counts = t.scan(spark).groupBy("repo").count().orderBy("count", "repo").collect()
+    rare, mid = counts[0]["repo"], counts[len(counts) // 2]["repo"]
+    reg.forget(rare)
+    reg.forget(mid)
+    mark("shred", lambda: shred(t, spark, [rare, mid], target_file_bytes=tb))
+    mark("expire", lambda: expire_snapshots(t, keep_last=1))
+    keys2 = broadcast_keys(spark, reg.key_map())
+    mark("verify", lambda: content_digest(decrypt_table(t.scan(spark), spec, keys2)))
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+
+    jobs, cur = [], {}
+    d = glob.glob(f"{logdir}/*{app_id}*")[0]
+    for f in (os.path.join(d, x) for x in os.listdir(d) if "events" in x):
+        if f.endswith(".zstd"):
+            data = subprocess.run(["zstd", "-dc", f], capture_output=True).stdout.decode()
+        else:
+            data = open(f, encoding="utf-8", errors="replace").read()
+        for line in data.splitlines():
+            e = json.loads(line)
+            if e["Event"] == "SparkListenerJobStart":
+                cur[e["Job ID"]] = e["Submission Time"]
+            elif e["Event"] == "SparkListenerJobEnd":
+                jobs.append((e["Job ID"], cur.pop(e["Job ID"]), e["Completion Time"]))
+    jobs.sort(key=lambda x: x[1])
+    for name, (a, b) in marks.items():
+        pj = [(j, s, tt) for j, s, tt in jobs if s >= a * 1000 - 50 and tt <= b * 1000 + 50]
+        active = sum(tt - s for _, s, tt in pj) / 1000
+        wall = b - a
+        print(
+            f"{name:8s} wall={wall:6.2f}s jobs={len(pj):2d} "
+            f"job-active={active:6.2f}s driver-gap={wall - active:5.2f}s"
+        )
+
+
+if __name__ == "__main__":
+    main()
