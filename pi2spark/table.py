@@ -459,6 +459,16 @@ class Table:
     def current_snapshot_id(self) -> int | None:
         return self._metadata()["current_snapshot_id"]
 
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Time travel by wall clock: the latest snapshot committed at
+        or before ``timestamp_ms`` (Iceberg's ``as-of-timestamp``).
+        Raises if the table has no snapshot that old."""
+        candidates = [s for s in self.snapshots() if s["timestamp_ms"] <= timestamp_ms]
+        if not candidates:
+            raise Pi2SparkError(f"no snapshot at or before timestamp {timestamp_ms}")
+        best = max(candidates, key=lambda s: (s["timestamp_ms"], s["snapshot_id"]))
+        return self.snapshot(best["snapshot_id"])
+
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
         meta = self._metadata()
         sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
@@ -730,6 +740,47 @@ class Table:
         }
         return {"manifest_list": list_name}, totals
 
+    def scan_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental append-diff read (Iceberg's incremental scan):
+        rows of data files introduced by APPEND snapshots in
+        ``(from_snapshot_id, to_snapshot_id]``. Rewrite snapshots
+        (compact / cluster / shred / reencrypt / expire) move or
+        re-seal existing rows without adding data, so — exactly like
+        Iceberg — they contribute nothing to an incremental read; a
+        downstream consumer processes each appended row exactly once
+        regardless of how much maintenance ran in between.
+
+        Driver cost is O(manifest) set algebra; the read itself is a
+        pruned parquet scan of only the new files."""
+        meta = self._metadata()
+        snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
+        ids = [s["snapshot_id"] for s in snaps]
+        if from_snapshot_id not in ids:
+            raise Pi2SparkError(f"snapshot {from_snapshot_id} not found (expired?)")
+        to_id = to_snapshot_id if to_snapshot_id is not None else meta["current_snapshot_id"]
+        new_files: list[str] = []
+        prev_paths = self.manifest_data_paths(
+            next(s for s in snaps if s["snapshot_id"] == from_snapshot_id)
+        )
+        for s in snaps:
+            if s["snapshot_id"] <= from_snapshot_id or s["snapshot_id"] > to_id:
+                continue
+            cur_paths = self.manifest_data_paths(s)
+            if s["operation"] == "append":
+                new_files.extend(sorted(cur_paths - prev_paths))
+            prev_paths = cur_paths
+        if not new_files:
+            schema = self.data_schema()
+            if schema is None:
+                raise Pi2SparkError("cannot scan an empty diff without schema")
+            return spark.createDataFrame([], schema)
+        return self.reader(spark).parquet(*[os.path.join(self.root, p) for p in new_files])
+
     # -- write path --
 
     def new_data_dir(self, tag: str) -> tuple[str, str]:
@@ -838,12 +889,19 @@ class Table:
         snapshot_id: int | None = None,
         filters: Sequence[ColumnPredicate] = (),
         columns: Sequence[str] | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Snapshot-isolated scan with driver-side file pruning.
 
         Stats predicates prune files here; the same predicates should
         also be applied as DataFrame filters by the caller for row-level
-        filtering (stats pruning is necessary-not-sufficient)."""
+        filtering (stats pruning is necessary-not-sufficient).
+        ``as_of_ms`` time-travels to the latest snapshot committed at
+        or before that wall-clock instant."""
+        if as_of_ms is not None:
+            if snapshot_id is not None:
+                raise Pi2SparkError("pass snapshot_id OR as_of_ms, not both")
+            snapshot_id = self.snapshot_as_of(as_of_ms).snapshot_id
         snap, files = self.plan_files(snapshot_id, filters)
         if not files:
             schema = self.data_schema()

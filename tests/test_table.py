@@ -84,3 +84,50 @@ def test_stats_pruning(spark, tmp_table_root):
     assert files == []
     df = t.scan(spark, filters=[ColumnPredicate("repo", "eq", "orgX/none")])
     assert df.count() == 0 and "content" in df.columns
+
+
+def test_time_travel_as_of_timestamp(spark, tmp_path):
+    from pi2spark.table import Table
+
+    t = Table.create(str(tmp_path / "tbl"))
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    s1 = t.append(df1, spark)
+    ts_between = t.snapshot().timestamp_ms
+    import time as _time
+    _time.sleep(0.01)
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"), spark)
+
+    assert t.scan(spark, as_of_ms=ts_between).count() == 1
+    assert t.scan(spark).count() == 2
+    assert t.snapshot_as_of(ts_between).snapshot_id == s1.snapshot_id
+    import pytest as _pytest
+
+    from pi2spark.errors import Pi2SparkError
+    with _pytest.raises(Pi2SparkError):
+        t.snapshot_as_of(ts_between - 10_000)
+    with _pytest.raises(Pi2SparkError):
+        t.scan(spark, snapshot_id=s1.snapshot_id, as_of_ms=ts_between)
+
+
+def test_scan_incremental_append_diff(spark, tmp_path):
+    """Incremental read sees each appended row exactly once; rewrite
+    snapshots (compact) contribute nothing."""
+    from pi2spark.maintenance import compact
+    from pi2spark.table import Table
+
+    t = Table.create(str(tmp_path / "tbl"))
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id long, v string"
+    )
+    s1 = t.append(mk(0, 10), spark)
+    s2 = t.append(mk(10, 25), spark)
+    compact(t, spark, target_file_bytes=1 << 20)  # rewrite, no new data
+    t.append(mk(25, 30), spark)
+
+    inc_all = t.scan_incremental(spark, s1.snapshot_id)
+    assert sorted(r.id for r in inc_all.collect()) == list(range(10, 30))
+    inc_2 = t.scan_incremental(spark, s1.snapshot_id, to_snapshot_id=s2.snapshot_id)
+    assert sorted(r.id for r in inc_2.collect()) == list(range(10, 25))
+    # empty diff: from current to current
+    cur = t.current_snapshot_id()
+    assert t.scan_incremental(spark, cur).count() == 0
