@@ -181,24 +181,21 @@ def main(argv=None) -> int:
                   concurrency=args.concurrency, pass_id=args.pass_id)
         out.update(r.__dict__ | {"details": r.details})
     elif args.command == "rotate":
-        from pi2spark.maintenance import rotate_and_reencrypt
+        from pi2spark.maintenance import rotate_many_and_reencrypt
 
-        subjects = [s for s in args.subjects.split(",") if s]
+        subjects = sorted({s for s in args.subjects.split(",") if s})
         if not subjects:
             print("error: --subjects required for rotate", file=sys.stderr)
             return 2
-        results = []
-        for s in subjects:
-            # a supplied --pass-id resumes per SUBJECT (not list
-            # position): reordering or shortening --subjects on a
-            # resume must still pair each subject with its own ledger
-            pid = f"{args.pass_id}-{s}" if args.pass_id else None
-            r = rotate_and_reencrypt(t, spark, reg, s, target_file_bytes=target,
-                                     pass_id=pid)
-            results.append(r.__dict__ | {"details": r.details, "subject": s})
-        out["subjects"] = results
-        out["rewritten_files"] = sum(r["rewritten_files"] for r in results)
-        out["seconds"] = sum(r["seconds"] for r in results)
+        # ONE pass for the whole cohort: each affected file is
+        # rewritten once even when it holds several rotating subjects;
+        # a supplied --pass-id resumes the cohort pass (the minted
+        # material ids are in its ledger, keyed by subject — list
+        # order is irrelevant)
+        r = rotate_many_and_reencrypt(
+            t, spark, reg, subjects, target_file_bytes=target, pass_id=args.pass_id
+        )
+        out.update(r.__dict__ | {"details": r.details, "subjects": subjects})
     elif args.command == "verify":
         from pi2spark.verify import content_digest
 

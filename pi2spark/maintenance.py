@@ -678,6 +678,49 @@ def reencrypt(
     )
 
 
+def rotate_many_and_reencrypt(
+    table: Table,
+    spark: SparkSession,
+    registry,
+    subject_ids,
+    retire: bool = True,
+    pass_id: str | None = None,
+    **kw,
+) -> PassResult:
+    """Rotate N subjects in ONE rewrite pass: mint a material per
+    subject (each recorded in the ledger before any wave — same
+    resume-idempotency contract as the single-subject flow), then a
+    single ``reencrypt`` over the UNION of affected files, then retire
+    per subject. A file holding rows of k rotating subjects is
+    rewritten once, not k times — the difference between O(files) and
+    O(files × subjects) when a rotation policy cycles a whole cohort
+    (e.g. scheduled annual rotation)."""
+    from pi2spark.crypto import broadcast_keys
+
+    subjects = sorted(set(subject_ids))
+    if not subjects:
+        return PassResult("reencrypt", pass_id or _new_pass_id("reencrypt"), table.current_snapshot_id(), 0, 0, 0, 0.0, skipped=True)
+    pass_id = pass_id or _new_pass_id("reencrypt")
+    ledger = PassLedger(table.root, pass_id)
+    minted = ledger.meta("rotated_mids") or {}
+    for s in subjects:
+        if s not in minted:
+            minted[s] = registry.rotate(s).material_id
+        elif registry.latest_material_id(s) != minted[s]:
+            raise MissingCryptoMaterialsError(
+                f"resume of pass {pass_id!r}: recorded material for {s!r} is no "
+                "longer the latest; run a fresh rotation pass instead of resuming"
+            )
+    ledger.record_meta("rotated_mids", minted)
+    keys = broadcast_keys(spark, registry.key_map_versioned())
+    res = reencrypt(table, spark, keys, subjects, pass_id=pass_id, **kw)
+    if retire and not res.skipped:
+        for s in subjects:
+            if registry.latest_material_id(s) == minted[s]:
+                registry.retire_old_materials(s)
+    return res
+
+
 def rotate_and_reencrypt(
     table: Table,
     spark: SparkSession,

@@ -234,3 +234,41 @@ def test_forget_after_rotation_redacts_every_version(tmp_path):
     assert '"key_b64": null' in raw and '"key_b64": "' not in raw
     # replay agrees
     assert KeyRegistry(str(tmp_path / "cmd.jsonl")).latest_key("s1") is None
+
+
+def test_rotate_many_single_rewrite_pass(spark, tmp_path):
+    """Cohort rotation: N subjects, ONE rewrite pass — a file holding
+    several rotating subjects is rewritten once; every subject ends on
+    its own fresh material; everything stays readable."""
+    from pi2spark.maintenance import rotate_many_and_reencrypt
+
+    reg = KeyRegistry(str(tmp_path / "cmd.jsonl"))
+    subjects = [f"org{i}/r" for i in range(4)]
+    reg.register_all(subjects)
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(str(tmp_path / "tbl"))
+    # 2 files, each holding rows of ALL subjects → union rewrite = 2 files
+    t.append(encrypt_table(_df(spark, subjects, "t").repartition(2), SPEC, keys), spark)
+    baseline = content_digest(decrypt_table(t.scan(spark), SPEC, keys))
+    n_snaps_before = len(t.snapshots())
+
+    victims = subjects[:3]
+    res = rotate_many_and_reencrypt(t, spark, reg, victims, subject_column="repo")
+    assert not res.skipped
+    # exactly one new snapshot: one pass, not one per subject
+    assert len(t.snapshots()) == n_snaps_before + 1
+
+    mids = {s: reg.key_map_versioned()[s] for s in victims}
+    for s in victims:
+        assert len(mids[s]) == 1  # retired down to the fresh material
+    # untouched subject keeps its original single material
+    assert len(reg.key_map_versioned()[subjects[3]]) == 1
+
+    keys2 = broadcast_keys(spark, reg.key_map_versioned())
+    out = decrypt_table(t.scan(spark), SPEC, keys2, strict=True)
+    assert out.filter(F.col("shredded")).count() == 0
+    assert content_digest(decrypt_table(t.scan(spark), SPEC, keys2)) == baseline
+    # victims' rows carry their own new material ids
+    for s in victims:
+        kms = {r.content_enc.kms_id for r in t.scan(spark).filter(F.col("repo") == s).collect()}
+        assert kms == {f"pi2spark-kms#{mids[s][0][0]}"}
