@@ -767,6 +767,65 @@ def rotate_and_reencrypt(
     return res
 
 
+def maintain(
+    table: Table,
+    spark: SparkSession,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    small_file_threshold: int = 16,
+    cluster_backlog_threshold: int = 8,
+    keep_last_snapshots: int = 3,
+    curve: str = "morton",
+    small_ratio: float = 0.75,
+) -> dict:
+    """One steady-state maintenance cycle — the idempotent unit a
+    scheduler runs continuously against a live table:
+
+    1. compact when ≥ ``small_file_threshold`` files sit below
+       ``small_ratio`` × target (append churn),
+    2. incrementally cluster when ≥ ``cluster_backlog_threshold``
+       files lack zkey stats (appends since the last clustering —
+       pass cost tracks the append rate, not table size),
+    3. expire snapshots beyond ``keep_last_snapshots``.
+
+    Each trigger reads ONLY the manifest (O(files) driver work, no
+    Spark job), so a no-op cycle costs microseconds — safe to run
+    every few minutes at any scale. Returns which passes ran and
+    their results."""
+    out: dict = {}
+    files = table.snapshot().files
+    small = [f for f in files if f.bytes < target_file_bytes * small_ratio]
+    if len(small) >= small_file_threshold:
+        out["compact"] = compact(
+            table, spark, target_file_bytes=target_file_bytes, small_ratio=small_ratio
+        )
+        files = table.snapshot().files
+    backlog = [
+        f for f in files if "zkey" not in f.stats or f.stats["zkey"][0] is None
+    ]
+    # count OR bytes OR fraction: a compaction can fold the whole
+    # append backlog into one big UNCLUSTERED file — a target-file's
+    # worth of unsorted data, or a mostly-unclustered table, still
+    # deserves the clustering pass; a small tail rides until the
+    # count threshold (hysteresis against re-clustering every append)
+    backlog_bytes = sum(f.bytes for f in backlog)
+    total_bytes_all = sum(f.bytes for f in files) or 1
+    if backlog and (
+        len(backlog) >= cluster_backlog_threshold
+        or backlog_bytes >= target_file_bytes
+        or backlog_bytes / total_bytes_all >= 0.5
+    ):
+        out["cluster"] = cluster(
+            table,
+            spark,
+            curve=curve,
+            target_file_bytes=target_file_bytes,
+            incremental=any(f not in backlog for f in files),
+        )
+    if len(table.snapshots()) > keep_last_snapshots:
+        out["expire"] = expire_snapshots(table, keep_last=keep_last_snapshots)
+    return out
+
+
 def forget_and_shred(table: Table, spark: SparkSession, registry, subject_id: str, **kw) -> PassResult:
     """The complete right-to-be-forgotten flow: FORGET command (key
     deletion — completes the reference's unimplemented branch,

