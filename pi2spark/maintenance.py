@@ -703,6 +703,14 @@ def rotate_many_and_reencrypt(
     pass_id = pass_id or _new_pass_id("reencrypt")
     ledger = PassLedger(table.root, pass_id)
     minted = ledger.meta("rotated_mids") or {}
+    if minted and set(minted) != set(subjects):
+        # a resume must replay the SAME cohort: cached waves were
+        # computed against the recorded subject set, and mixing them
+        # with a different set would partially re-seal the wrong rows
+        raise MissingCryptoMaterialsError(
+            f"resume of pass {pass_id!r}: cohort changed "
+            f"({sorted(minted)} -> {subjects}); use a fresh pass id"
+        )
     for s in subjects:
         if s not in minted:
             minted[s] = registry.rotate(s).material_id
