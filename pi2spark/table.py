@@ -802,11 +802,24 @@ class Table:
         import json as _json
 
         path = os.path.join(self._meta_dir, "schema.json")
-        payload = schema.json()
         if os.path.exists(path):
+            # merge by field name (UNION): an append after a clustering
+            # pass writes files without ``zkey``, but the stored schema
+            # must keep it — otherwise readers would silently drop the
+            # column from the clustered files. Existing field types win
+            # (schema evolution beyond add-column is out of scope).
+            from pyspark.sql.types import StructType
+
             with open(path, "r", encoding="utf-8") as fh:
-                if fh.read() == payload:
-                    return
+                existing = StructType.fromJson(_json.load(fh))
+            known = {f.name for f in existing.fields}
+            extra = [f for f in schema.fields if f.name not in known]
+            if not extra:
+                return
+            merged = StructType(existing.fields + extra)
+            payload = merged.json()
+        else:
+            payload = schema.json()
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(payload)

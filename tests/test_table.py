@@ -131,3 +131,37 @@ def test_scan_incremental_append_diff(spark, tmp_path):
     # empty diff: from current to current
     cur = t.current_snapshot_id()
     assert t.scan_incremental(spark, cur).count() == 0
+
+
+def test_schema_union_survives_append_after_cluster(spark, tmp_path):
+    """An append AFTER a clustering pass writes files without zkey; the
+    stored schema must keep the union so scans still surface zkey for
+    the clustered files (null for the new rows), and maintenance keeps
+    working on the mixed layout."""
+    from pi2spark.maintenance import cluster, compact
+    from pi2spark.table import Table
+
+    t = Table.create(str(tmp_path / "tbl"))
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(f"org{i % 5}/r", f"p{i}.py", f"{i:040x}", "python", f"c{i}" * 30)
+         for i in range(lo, hi)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t.append(mk(0, 300).repartition(4), spark)
+    cluster(t, spark, target_file_bytes=16 << 10)
+    assert "zkey" in [f.name for f in t.data_schema().fields]
+
+    t.append(mk(300, 400).repartition(2), spark)  # no zkey in this df
+    assert "zkey" in [f.name for f in t.data_schema().fields]  # union kept
+
+    scan = t.scan(spark)
+    assert "zkey" in scan.columns
+    assert scan.count() == 400
+    # clustered rows keep their key; fresh appends read as null
+    assert scan.filter(F.col("zkey").isNotNull()).count() == 300
+    # maintenance still works over the mixed layout
+    compact(t, spark, target_file_bytes=1 << 20)
+    assert t.scan(spark).count() == 400
+    r = cluster(t, spark, target_file_bytes=16 << 10)
+    assert not r.skipped
+    assert t.scan(spark).filter(F.col("zkey").isNull()).count() == 0
