@@ -263,11 +263,19 @@ def make_decrypt_udf(keys, strict: bool = False, binary: bool = False):
                         if ci == len(candidates) - 1:
                             # Speculative attempts (embedded-mid row under
                             # an anonymous map, or mid-less row under a
-                            # multi-version map) that exhaust the chain
-                            # mean the sealing material is no longer in
-                            # the map — destroyed-material contract in
-                            # non-strict mode, not a corruption error.
-                            if speculative and not strict:
+                            # versioned map) that exhaust the chain mean
+                            # the sealing material is no longer in the
+                            # map — the destroyed-material contract:
+                            # tombstone when non-strict, raise MISSING
+                            # MATERIALS (not a corruption alarm) when
+                            # strict. Only a non-speculative failure —
+                            # the right key rejecting its own ciphertext
+                            # — is corruption.
+                            if speculative:
+                                if strict:
+                                    raise MissingCryptoMaterialsError(
+                                        f"{subj}: no surviving material authenticates this row"
+                                    ) from e
                                 exhausted = True
                                 break
                             raise InvalidEncryptedMessageError(

@@ -101,7 +101,10 @@ def _packer_session(spark: SparkSession, target_bytes: int):
     split (Spark's default floor of defaultParallelism partitions would
     shred the pack back into core-count pieces and defeat the
     file-sizing goal)."""
-    key = (id(spark.sparkContext), target_bytes)
+    # applicationId (not id()): a stopped context's object address can
+    # be recycled by CPython, which would hand back a child session
+    # bound to a dead context after a restart
+    key = (spark.sparkContext.applicationId, target_bytes)
     packer = _PACKER_SESSIONS.get(key)
     if packer is None:
         packer = spark.newSession()
@@ -253,6 +256,25 @@ def compact(
 # ---------------------------------------------------------------------------
 
 
+def _cluster_provenance_matches(table: Table, columns: list, curve: str, bits: int) -> bool:
+    """The merge path may only reuse an existing zkey layout when the
+    REQUESTED clustering parameters match the ones that produced it —
+    otherwise `cluster(columns=('lang',), curve='hilbert')` on a
+    morton-(repo,lang,path) table would silently repack the old keys
+    and record a clustering that never happened. Provenance is the
+    most recent snapshot summary carrying ``cluster_columns``; no
+    provenance → be conservative, take the shuffle path."""
+    for s in reversed(table.snapshots()):
+        summ = s.get("summary", {})
+        if "cluster_columns" in summ:
+            return (
+                summ.get("cluster_columns") == columns
+                and summ.get("curve") == curve
+                and summ.get("bits", bits) == bits
+            )
+    return False
+
+
 def cluster(
     table: Table,
     spark: SparkSession,
@@ -324,6 +346,7 @@ def cluster(
         merge_if_sorted
         and len(in_files) > 1
         and all(z and z[0] is not None and z[1] is not None for z in zstats)
+        and _cluster_provenance_matches(table, list(columns), curve, bits)
     ):
         ordered = sorted(in_files, key=lambda f: (f.stats["zkey"][0], f.path))
         if all(
@@ -390,6 +413,7 @@ def cluster(
                     "pass_id": pass_id,
                     "cluster_columns": list(columns),
                     "curve": curve,
+                    "bits": bits,
                     "mode": "merge",
                 },
             )
@@ -475,6 +499,7 @@ def cluster(
             "pass_id": pass_id,
             "cluster_columns": list(columns),
             "curve": curve,
+            "bits": bits,
             "incremental": incremental,
         },
     )
@@ -722,7 +747,14 @@ def rotate_many_and_reencrypt(
     ledger.record_meta("rotated_mids", minted)
     keys = broadcast_keys(spark, registry.key_map_versioned())
     res = reencrypt(table, spark, keys, subjects, pass_id=pass_id, **kw)
-    if retire and not res.skipped:
+    if retire:
+        # ALWAYS attempt retirement (idempotent: no-op below 2
+        # materials). A resume after a crash between the reencrypt
+        # commit and retire sees res.skipped=True — gating on it would
+        # leave the old key bytes live forever. A skip because no
+        # files were affected is also safe to retire through: no
+        # current-snapshot ciphertext references the old material, and
+        # destroying pre-rotation ciphertext is retire's contract.
         for s in subjects:
             if registry.latest_material_id(s) == minted[s]:
                 registry.retire_old_materials(s)
@@ -770,7 +802,10 @@ def rotate_and_reencrypt(
         )
     keys = broadcast_keys(spark, registry.key_map_versioned())
     res = reencrypt(table, spark, keys, [subject_id], pass_id=pass_id, **kw)
-    if retire and not res.skipped and registry.latest_material_id(subject_id) == minted:
+    # ALWAYS attempt retirement (idempotent): a resume after a crash
+    # between the reencrypt commit and retire sees res.skipped=True —
+    # gating on it would leave the old key bytes live forever
+    if retire and registry.latest_material_id(subject_id) == minted:
         registry.retire_old_materials(subject_id)
     return res
 
@@ -801,33 +836,47 @@ def maintain(
     their results."""
     out: dict = {}
     files = table.snapshot().files
-    small = [f for f in files if f.bytes < target_file_bytes * small_ratio]
-    if len(small) >= small_file_threshold:
-        out["compact"] = compact(
-            table, spark, target_file_bytes=target_file_bytes, small_ratio=small_ratio
-        )
-        files = table.snapshot().files
+    # CLUSTER FIRST: compacting a mix of clustered small files and
+    # fresh (zkey-less) appends would produce files whose zkey stats
+    # are non-null (parquet stats ignore nulls), permanently hiding
+    # the appended rows from the backlog detector. Clustering the
+    # backlog first gives every row real zkey stats; compaction then
+    # only ever merges clustered files.
     backlog = [
         f for f in files if "zkey" not in f.stats or f.stats["zkey"][0] is None
     ]
-    # count OR bytes OR fraction: a compaction can fold the whole
-    # append backlog into one big UNCLUSTERED file — a target-file's
-    # worth of unsorted data, or a mostly-unclustered table, still
-    # deserves the clustering pass; a small tail rides until the
-    # count threshold (hysteresis against re-clustering every append)
+    # count OR bytes OR fraction triggers: many unclustered files, a
+    # target-file's worth of unsorted data, or a mostly-unclustered
+    # table each deserve the pass; a small tail rides until the count
+    # threshold (hysteresis against re-clustering every append)
     backlog_bytes = sum(f.bytes for f in backlog)
     total_bytes_all = sum(f.bytes for f in files) or 1
+    small = [f for f in files if f.bytes < target_file_bytes * small_ratio]
+    compact_due = len(small) >= small_file_threshold
     if backlog and (
         len(backlog) >= cluster_backlog_threshold
         or backlog_bytes >= target_file_bytes
         or backlog_bytes / total_bytes_all >= 0.5
+        # an imminent compaction also forces the backlog through
+        # clustering first — compacting unclustered appends together
+        # with clustered files would give the output REAL zkey stats
+        # (parquet stats ignore nulls) and hide those rows from this
+        # detector forever
+        or compact_due
     ):
         out["cluster"] = cluster(
             table,
             spark,
             curve=curve,
             target_file_bytes=target_file_bytes,
-            incremental=any(f not in backlog for f in files),
+            incremental=len(backlog) < len(files),
+        )
+        files = table.snapshot().files
+        small = [f for f in files if f.bytes < target_file_bytes * small_ratio]
+        compact_due = len(small) >= small_file_threshold
+    if compact_due:
+        out["compact"] = compact(
+            table, spark, target_file_bytes=target_file_bytes, small_ratio=small_ratio
         )
     if len(table.snapshots()) > keep_last_snapshots:
         out["expire"] = expire_snapshots(table, keep_last=keep_last_snapshots)

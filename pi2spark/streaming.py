@@ -168,21 +168,28 @@ def forget_stream(
                 target_file_bytes=target_file_bytes,
             )
         # ROTATE after FORGET: a subject both forgotten and rotated in
-        # one batch stays forgotten (rotate refuses unknown subjects)
+        # one batch stays forgotten
         rotations = sorted(
             {r.subject_id for r in rows if r.command == ROTATE} - set(victims)
         )
         for s in rotations:
-            rotate_and_reencrypt(
-                table,
-                spark,
-                registry,
-                s,
-                subject_column=subject_column,
-                envelope_columns=envelope_columns,
-                pass_id=f"{query_name}-rot-b{batch_id:08d}-{s}",
-                target_file_bytes=target_file_bytes,
-            )
+            try:
+                rotate_and_reencrypt(
+                    table,
+                    spark,
+                    registry,
+                    s,
+                    subject_column=subject_column,
+                    envelope_columns=envelope_columns,
+                    pass_id=f"{query_name}-rot-b{batch_id:08d}-{s}",
+                    target_file_bytes=target_file_bytes,
+                )
+            except KeyError:
+                # ROTATE for an unknown or already-forgotten subject
+                # (e.g. FORGET arrived in an earlier batch) is a no-op,
+                # NOT a poison pill: failing the micro-batch would
+                # replay-crash the whole command queue forever
+                continue
 
     writer = commands.writeStream.queryName(query_name).foreachBatch(_handle)
     if checkpoint_dir:

@@ -149,8 +149,8 @@ def mixture_sample(
     predicate pushed to the reader."""
     frac = None
     for s, f in sorted(fractions.items()):
-        cond = F.when(F.col(source_col) == s, F.lit(int(f * SAMPLE_BUCKETS)))
-        frac = cond if frac is None else frac.when(F.col(source_col) == s, F.lit(int(f * SAMPLE_BUCKETS)))
+        args = (F.col(source_col) == s, F.lit(int(f * SAMPLE_BUCKETS)))
+        frac = F.when(*args) if frac is None else frac.when(*args)
     frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
     return df.filter(_sample_bucket(F.col(key_col), seed) < frac)
 

@@ -193,13 +193,13 @@ def test_compaction_resume_after_partial_failure(spark, loaded, monkeypatch):
 
 
 def test_maintain_policy_cycle(spark, tmp_path):
-    """The steady-state auto-maintenance unit: triggers fire from
-    manifest state only, the cycle converges, and a converged table
-    makes the next cycle a cheap no-op."""
+    """The steady-state auto-maintenance unit: cluster-before-compact
+    ordering (so appends never hide from the backlog detector), cheap
+    no-op convergence, incremental re-arm on fresh appends."""
+    import hashlib
+
     from pi2spark.maintenance import maintain
     from pi2spark.table import Table
-
-    import hashlib
 
     t = Table.create(str(tmp_path / "tbl"))
     mk = lambda lo, hi: spark.createDataFrame(
@@ -208,31 +208,40 @@ def test_maintain_policy_cycle(spark, tmp_path):
          for i in range(lo, hi)],
         "repo string, path string, commit string, lang string, content string",
     )
-    # many small appends → small-file churn + zero clustered files
     for k in range(5):
         t.append(mk(k * 100, (k + 1) * 100).repartition(4), spark)
     assert len(t.snapshot().files) == 20
 
-    ran = maintain(t, spark, target_file_bytes=64 << 10,
-                   small_file_threshold=8, cluster_backlog_threshold=4,
-                   keep_last_snapshots=2)
-    assert "compact" in ran and "cluster" in ran and "expire" in ran
+    kw = dict(target_file_bytes=64 << 10, small_file_threshold=8,
+              cluster_backlog_threshold=4, keep_last_snapshots=2)
+    ran = maintain(t, spark, **kw)
+    # cluster runs FIRST (everything is backlog); expire trims history
+    assert "cluster" in ran and "expire" in ran
     assert len(t.snapshots()) <= 2
-    files = t.snapshot().files
-    assert all("zkey" in f.stats and f.stats["zkey"][0] is not None for f in files)
+    assert all("zkey" in f.stats and f.stats["zkey"][0] is not None
+               for f in t.snapshot().files)
     assert t.scan(spark).count() == 500
 
     # converged: nothing to do
-    ran2 = maintain(t, spark, target_file_bytes=64 << 10,
-                    small_file_threshold=8, cluster_backlog_threshold=4,
-                    keep_last_snapshots=2)
+    ran2 = maintain(t, spark, **kw)
     assert "compact" not in ran2 and "cluster" not in ran2
     assert t.scan(spark).count() == 500
 
-    # a fresh append re-arms only the cluster trigger (incremental)
+    # fresh appends re-arm the cluster trigger, incrementally
     t.append(mk(500, 700).repartition(4), spark)
-    ran3 = maintain(t, spark, target_file_bytes=64 << 10,
-                    small_file_threshold=8, cluster_backlog_threshold=4,
-                    keep_last_snapshots=2)
-    assert "cluster" in ran3 and ran3["cluster"].details.get("incremental") in (True, None) or True
+    ran3 = maintain(t, spark, **kw)
+    assert "cluster" in ran3
+    assert ran3["cluster"].details.get("incremental") is True
+    assert t.scan(spark).count() == 700
+    # nothing escaped the backlog detector: every file has real zkey
+    assert all("zkey" in f.stats and f.stats["zkey"][0] is not None
+               for f in t.snapshot().files)
+
+    # small-file churn alone (no backlog) triggers a pure compact of
+    # already-clustered files
+    n_files = len(t.snapshot().files)
+    ran4 = maintain(t, spark, target_file_bytes=1 << 20,
+                    small_file_threshold=min(n_files, 2),
+                    cluster_backlog_threshold=4, keep_last_snapshots=2)
+    assert "compact" in ran4 and "cluster" not in ran4
     assert t.scan(spark).count() == 700

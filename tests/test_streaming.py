@@ -307,3 +307,34 @@ def test_rotate_stream_reseals_mid_stream(spark, tmp_path):
     q2.awaitTermination(120)
     assert t.current_snapshot_id() == before
     assert len(reg.key_map_versioned()[victim]) == 1
+
+
+def test_rotate_stream_unknown_subject_is_not_poison(spark, tmp_path):
+    """A ROTATE for an unknown/forgotten subject must be a no-op, not a
+    batch-killing poison pill that replays forever."""
+    from pi2spark.crypto import encrypt_table
+    from pi2spark.streaming import forget_stream
+
+    plain = synthesize_source_files(spark, 200, seed=35, partitions=2, max_len=500)
+    reg = KeyRegistry(str(tmp_path / "kms.jsonl"))
+    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(str(tmp_path / "tbl"))
+    t.append(encrypt_table(plain, SPEC, keys), spark)
+    victim = plain.select("repo").distinct().orderBy("repo").first().repo
+    v1_mid = reg.key_map_versioned()[victim][-1][0]
+
+    cmd_src = str(tmp_path / "cmds")
+    spark.createDataFrame(
+        [("ghost/never-registered", "ROTATE"), (victim, "ROTATE")],
+        "subject_id string, command string",
+    ).coalesce(1).write.parquet(cmd_src)
+    cmds = spark.readStream.schema("subject_id string, command string").parquet(cmd_src)
+    q = forget_stream(
+        cmds, t, reg, checkpoint_dir=str(tmp_path / "pckpt"), query_name="poison-test"
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None  # the batch completed
+    # the real subject WAS rotated despite the ghost command
+    assert reg.key_map_versioned()[victim][-1][0] != v1_mid
+    assert reg.latest_key("ghost/never-registered") is None

@@ -230,3 +230,30 @@ def test_recluster_merge_waves_and_resume(spark, tmp_path, monkeypatch):
     # resume after commit: no-op
     r2 = cluster(t, spark, target_file_bytes=16 << 10, pass_id="merge-waved")
     assert r2.skipped
+
+
+def test_merge_path_requires_matching_provenance(spark, tmp_path):
+    """Re-clustering with DIFFERENT parameters must not silently repack
+    the old keys: the merge gate checks the recorded provenance."""
+    from pi2spark.maintenance import cluster
+    from pi2spark.table import Table
+
+    rows = [
+        (f"org{i % 23:02d}/r", f"src/m{i % 7}/f{i}.py", f"{i:040x}",
+         ["python", "go", "rust"][i % 3], f"content-{i}-" + "x" * 400)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    t = Table.create(str(tmp_path / "tbl"))
+    t.append(df.repartition(8), spark)
+    cluster(t, spark, target_file_bytes=8 << 10)  # morton (repo,lang,path)
+
+    # same params → merge; different curve → full re-cluster
+    r_same = cluster(t, spark, target_file_bytes=8 << 10)
+    assert r_same.details.get("mode") == "merge-no-shuffle"
+    r_hilbert = cluster(t, spark, target_file_bytes=8 << 10, curve="hilbert")
+    assert r_hilbert.details.get("mode") != "merge-no-shuffle"
+    # and the hilbert layout is now the provenance: hilbert re-run merges
+    r_hilbert2 = cluster(t, spark, target_file_bytes=8 << 10, curve="hilbert")
+    assert r_hilbert2.details.get("mode") == "merge-no-shuffle"
+    assert t.scan(spark).count() == 3000
