@@ -435,6 +435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
         return docs.select("doc_id", F.md5(norm).alias("fp_md5"))
 
+    def q_repetition_scores(spark, sf_dir):
+        from pi2spark.textops import repetition_scores
+
+        return repetition_scores(_load(spark, sf_dir, "documents"))
+
     def q_mixture_sample(spark, sf_dir):
         # deterministic training-mixture sampling (textops.mixture_
         # sample): per-source hash-bucket fractions, reproducible
@@ -820,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "pii_scrub": q_pii_scrub,
         "mixture_sample": q_mixture_sample,
+        "repetition_scores": q_repetition_scores,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_verified": q_near_dup_verified,
         "dedup_components": q_dedup_components,
@@ -964,6 +970,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_scrub_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "repetition_scores": """
+            SELECT doc_id,
+                   len(string_split(text, chr(10))) AS n_lines,
+                   len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines,
+                   round((len(string_split(text, chr(10))) - len(list_distinct(string_split(text, chr(10)))))
+                         / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS dup_line_ratio,
+                   list_max(list_transform(string_split(text, chr(10)), x -> length(x))) AS max_line_len
+            FROM documents
+        """,
         "ngram_jaccard": r"""
             WITH toks AS (
               SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t

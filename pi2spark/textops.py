@@ -79,6 +79,24 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style structural repetition signals for corpus
+    filtering: line counts, duplicate-line fraction, longest line —
+    the classic boilerplate/log-spam detectors. Pure JVM array
+    expressions inside codegen; DuckDB mirrors them exactly (oracle
+    row ``repetition_scores``)."""
+    lines = F.split(F.col(text_col), "\n")
+    n = F.size(lines).cast("double")
+    distinct = F.size(F.array_distinct(lines)).cast("double")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_lines"),
+        distinct.cast("long").alias("n_distinct_lines"),
+        F.round((n - distinct) / F.greatest(n, F.lit(1.0)), 4).alias("dup_line_ratio"),
+        F.array_max(F.transform(lines, F.length)).alias("max_line_len"),
+    )
+
+
 # language-ID heuristic: per-language marker counts, argmax with a
 # fixed tie order. Mirrors classic stopword n-gram LID.
 _LANG_MARKERS = {

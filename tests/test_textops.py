@@ -200,3 +200,18 @@ def test_hash_and_mixture_sample_deterministic(spark):
     assert 200 < by.get("src1", 0) < 300   # ~0.5
     assert "src2" not in by                # 0.0 drops
     assert "src3" not in by                # absent → dropped
+
+
+def test_repetition_scores(spark):
+    from pi2spark.textops import repetition_scores
+
+    rows = [
+        (1, "a\nb\na\na"),          # 4 lines, 2 distinct
+        (2, "unique only"),          # 1 line
+        (3, "x\n" + "y" * 50),       # longest line 50
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_scores(df).collect()}
+    assert (out[1].n_lines, out[1].n_distinct_lines, out[1].dup_line_ratio) == (4, 2, 0.5)
+    assert (out[2].n_lines, out[2].dup_line_ratio) == (1, 0.0)
+    assert out[3].max_line_len == 50
