@@ -144,7 +144,7 @@ def main(argv=None) -> int:
         from pi2spark.synth import synthesize_source_files
 
         plain = synthesize_source_files(spark, args.rows, seed=args.seed).cache()
-        reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+        reg.register_from_df(plain.select("repo").distinct())
         keys = broadcast_keys(spark, reg.key_map())
         try:
             t.protection_spec()

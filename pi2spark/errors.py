@@ -128,3 +128,12 @@ class UnconfiguredError(Pi2SparkError):
 
 class ConcurrentCommitError(Pi2SparkError):
     """Optimistic-concurrency failure: table version advanced under us."""
+
+
+class StaleDeltaError(ConcurrentCommitError):
+    """A commit's file delta no longer applies: a concurrent winner
+    rewrote (removed) files this commit expected to remove. Retrying
+    the same commit can never succeed — the pass must RE-PLAN from the
+    fresh snapshot (re-select surviving input files, re-run the
+    rewrite) — see ``maintenance.compact`` / ``maintenance.shred``
+    conflict re-planning."""

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pi2spark.checkpoint import PassLedger
-from pi2spark.errors import MissingCryptoMaterialsError
+from pi2spark.errors import MissingCryptoMaterialsError, StaleDeltaError
 from pi2spark.table import (
     ColumnPredicate,
     DataFile,
@@ -128,6 +128,7 @@ def _rewrite_files_in_waves(
     transform=None,
     sort_col: str | None = None,
     wave_files: int = DEFAULT_WAVE_FILES,
+    task_prefix: str = "",
 ) -> list[dict]:
     """Rewrite data files into ~``target_bytes`` outputs, one Spark job
     per wave of ``wave_files`` inputs (see module docstring): the scan
@@ -147,7 +148,7 @@ def _rewrite_files_in_waves(
     results: list[dict] = []
     for w, start in enumerate(range(0, len(files), wave_files)):
         wave = files[start : start + wave_files]
-        task_id = f"wave-{w:05d}"
+        task_id = f"{task_prefix}wave-{w:05d}"
         prior = ledger.task_result(task_id)
         if prior:
             results.append(prior)
@@ -194,6 +195,16 @@ def _rewrite_files_in_waves(
 # ---------------------------------------------------------------------------
 
 
+def _drop_attempt_outputs(table: Table, added: list[DataFile]) -> None:
+    """Best-effort removal of a re-planned attempt's orphaned outputs
+    (never committed — ``remove_orphans`` reclaims any survivor)."""
+    for a in added:
+        try:
+            os.remove(os.path.join(table.root, a.path))
+        except OSError:
+            pass
+
+
 def compact(
     table: Table,
     spark: SparkSession,
@@ -202,53 +213,74 @@ def compact(
     pass_id: str | None = None,
     wave_files: int = DEFAULT_WAVE_FILES,
     small_ratio: float = 0.75,
+    max_replans: int = 3,
 ) -> PassResult:
     """Rewrite small files into ~target-size files. No shuffle, no
     crypto: one Spark job per wave, scan packing forms the bins,
     ciphertext is opaque payload (see ``_rewrite_files_in_waves``).
     Only files under ``small_ratio × target`` are rewritten (a
     near-target file is a rename with no benefit); a single leftover
-    small file is likewise left alone."""
+    small file is likewise left alone.
+
+    Conflict re-planning: the commit runs through ``commit_with_retry``
+    (a pure version race with a disjoint winner — e.g. a streaming
+    append — re-applies the delta and succeeds). When the winner
+    REWROTE this pass's inputs (``StaleDeltaError`` — e.g. a racing
+    shred targeted the same files), retrying can never succeed: the
+    pass drops the attempt's orphaned outputs and RE-PLANS from the
+    fresh snapshot — re-selecting the surviving small files and
+    re-running the waves — up to ``max_replans`` times. Both racing
+    passes commit; rows are never lost or duplicated (the re-plan reads
+    the winner's files, so a shred's tombstones survive compaction)."""
     t0 = time.time()
     pass_id = pass_id or _new_pass_id("compact")
     ledger = PassLedger(table.root, pass_id)
     if ledger.committed:
         return PassResult("compact", pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True)
 
-    snap = table.snapshot()
-    small = [f for f in snap.files if f.bytes < target_file_bytes * small_ratio]
-    small.sort(key=lambda f: f.path)
-    if len(small) < 2:
-        return PassResult("compact", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
+    last_err: Exception | None = None
+    for attempt in range(max_replans + 1):
+        snap = table.snapshot()
+        small = [f for f in snap.files if f.bytes < target_file_bytes * small_ratio]
+        small.sort(key=lambda f: f.path)
+        if len(small) < 2:
+            return PassResult("compact", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
 
-    results = _rewrite_files_in_waves(
-        table,
-        spark,
-        ledger,
-        small,
-        f"compact-{pass_id}",
-        target_bytes=target_file_bytes,
-        wave_files=wave_files,
-    )
-    removed = [p for r in results for p in r["inputs"]]
-    added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
-    new_snap = table.commit(
-        "compact",
-        added=added,
-        removed_paths=removed,
-        summary={"pass_id": pass_id, "waves": len(results)},
-    )
-    ledger.record_commit(new_snap.snapshot_id, {"waves": len(results)})
-    return PassResult(
-        "compact",
-        pass_id,
-        new_snap.snapshot_id,
-        rewritten_files=len(removed),
-        added_files=len(added),
-        rewritten_bytes=sum(r["bytes_in"] for r in results),
-        seconds=time.time() - t0,
-        details={"waves": len(results)},
-    )
+        results = _rewrite_files_in_waves(
+            table,
+            spark,
+            ledger,
+            small,
+            f"compact-{pass_id}",
+            target_bytes=target_file_bytes,
+            wave_files=wave_files,
+            task_prefix=f"a{attempt}-" if attempt else "",
+        )
+        removed = [p for r in results for p in r["inputs"]]
+        added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
+        try:
+            new_snap = table.commit_with_retry(
+                "compact",
+                added=added,
+                removed_paths=removed,
+                summary={"pass_id": pass_id, "waves": len(results), "replans": attempt},
+            )
+        except StaleDeltaError as e:
+            last_err = e
+            _drop_attempt_outputs(table, added)
+            continue
+        ledger.record_commit(new_snap.snapshot_id, {"waves": len(results)})
+        return PassResult(
+            "compact",
+            pass_id,
+            new_snap.snapshot_id,
+            rewritten_files=len(removed),
+            added_files=len(added),
+            rewritten_bytes=sum(r["bytes_in"] for r in results),
+            seconds=time.time() - t0,
+            details={"waves": len(results), "replans": attempt},
+        )
+    raise last_err  # type: ignore[misc]
 
 
 # ---------------------------------------------------------------------------
@@ -256,23 +288,51 @@ def compact(
 # ---------------------------------------------------------------------------
 
 
-def _cluster_provenance_matches(table: Table, columns: list, curve: str, bits: int) -> bool:
+def _cluster_provenance(table: Table) -> dict | None:
+    """Most recent snapshot summary carrying ``cluster_columns`` — the
+    table's layout provenance record — or None for a never-clustered
+    table."""
+    for s in reversed(table.snapshots()):
+        summ = s.get("summary", {})
+        if "cluster_columns" in summ:
+            return summ
+    return None
+
+
+def _cluster_provenance_matches(table: Table, columns: list, curve: str, bits: int) -> str | None:
     """The merge path may only reuse an existing zkey layout when the
     REQUESTED clustering parameters match the ones that produced it —
     otherwise `cluster(columns=('lang',), curve='hilbert')` on a
     morton-(repo,lang,path) table would silently repack the old keys
     and record a clustering that never happened. Provenance is the
     most recent snapshot summary carrying ``cluster_columns``; no
-    provenance → be conservative, take the shuffle path."""
-    for s in reversed(table.snapshots()):
-        summ = s.get("summary", {})
-        if "cluster_columns" in summ:
-            return (
-                summ.get("cluster_columns") == columns
-                and summ.get("curve") == curve
-                and summ.get("bits", bits) == bits
-            )
-    return False
+    provenance → be conservative, take the shuffle path.
+
+    Returns the provenance's ``zkey_gen`` (the boundary-generation id
+    minted by the full clustering pass that defined the current key
+    space) when the merge path may run, else None. Three conservative
+    gates beyond column/curve equality:
+
+    - a legacy summary with no recorded ``bits`` is a MISMATCH (the
+      layout may be keyed at a different zkey resolution);
+    - a summary with no ``zkey_gen`` is a MISMATCH: it was committed by
+      an *incremental* clustering, whose fresh-boundary files mint a
+      DIFFERENT key space than the older files — two generations can
+      have coincidentally non-overlapping [min,max] zkey ranges, and
+      merging them would record a clustering whose row order does not
+      reflect column-value order (ADVICE r4, maintenance.py:349);
+    - everything else (compact/shred/reencrypt preserving zkey order)
+      inherits the generation unchanged, so the gate stays open."""
+    summ = _cluster_provenance(table)
+    if summ is None:
+        return None
+    ok = (
+        summ.get("cluster_columns") == columns
+        and summ.get("curve") == curve
+        and summ.get("bits") == bits
+        and summ.get("zkey_gen") is not None
+    )
+    return summ.get("zkey_gen") if ok else None
 
 
 def cluster(
@@ -342,11 +402,12 @@ def cluster(
     # construction. Boundary-equal ranges (max[i] == min[i+1]) are
     # fine: they come from the tiebreaker splitting mega-keys.
     zstats = [f.stats.get("zkey") for f in in_files]
+    zgen = _cluster_provenance_matches(table, list(columns), curve, bits)
     if (
         merge_if_sorted
         and len(in_files) > 1
         and all(z and z[0] is not None and z[1] is not None for z in zstats)
-        and _cluster_provenance_matches(table, list(columns), curve, bits)
+        and zgen is not None
     ):
         ordered = sorted(in_files, key=lambda f: (f.stats["zkey"][0], f.path))
         if all(
@@ -415,6 +476,9 @@ def cluster(
                     "curve": curve,
                     "bits": bits,
                     "mode": "merge",
+                    # a merge re-packs existing keys: the boundary
+                    # generation is inherited unchanged
+                    "zkey_gen": zgen,
                 },
             )
             ledger.record_commit(new_snap.snapshot_id)
@@ -491,17 +555,27 @@ def cluster(
             },
             metrics={"seconds": time.time() - t0, "n_files": n_files},
         )
+    # boundary-generation id: a FULL clustering (every live file went
+    # through one set of boundaries) mints a new generation = pass_id;
+    # an incremental pass gives its fresh files their OWN key space, so
+    # the table now mixes generations and the merge path must stay
+    # closed (zkey_gen omitted → _cluster_provenance_matches rejects)
+    # until the next full clustering re-unifies it.
+    is_full = len(in_files) == len(snap.files)
+    summ = {
+        "pass_id": pass_id,
+        "cluster_columns": list(columns),
+        "curve": curve,
+        "bits": bits,
+        "incremental": incremental,
+    }
+    if is_full:
+        summ["zkey_gen"] = pass_id
     new_snap = table.commit(
         curve,
         added=added,
         removed_paths=[f.path for f in in_files],
-        summary={
-            "pass_id": pass_id,
-            "cluster_columns": list(columns),
-            "curve": curve,
-            "bits": bits,
-            "incremental": incremental,
-        },
+        summary=summ,
     )
     ledger.record_commit(new_snap.snapshot_id)
     return PassResult(
@@ -531,6 +605,7 @@ def shred(
     pass_id: str | None = None,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     wave_files: int = DEFAULT_WAVE_FILES,
+    max_replans: int = 3,
 ) -> PassResult:
     """MERGE-INTO-style erasure: rewrite **only** the data files whose
     stats may contain a forgotten subject, tombstoning that subject's
@@ -540,7 +615,15 @@ def shred(
     ~target-size outputs, oversized inputs split naturally. The caller
     must already have FORGOTTEN the subject's key
     (``KeyRegistry.forget``) — key deletion is what makes the
-    ciphertext unrecoverable; this pass removes the bytes."""
+    ciphertext unrecoverable; this pass removes the bytes.
+
+    Conflict re-planning (same protocol as ``compact``): a disjoint
+    version race re-applies through ``commit_with_retry``; a winner
+    that rewrote this pass's inputs (``StaleDeltaError`` — e.g. a
+    racing compaction packed the victim's files) triggers a re-plan
+    from the fresh snapshot. Re-targeting is CORRECTNESS here, not just
+    liveness: the victim's rows now live in the winner's output files,
+    and only a re-planned stats/bloom scan finds them all."""
     t0 = time.time()
     subjects = sorted(set(subjects))
     pass_id = pass_id or _new_pass_id("shred")
@@ -550,12 +633,7 @@ def shred(
     if not subjects:
         return PassResult("shred", pass_id, table.current_snapshot_id(), 0, 0, 0, 0.0, skipped=True)
 
-    snap = table.snapshot()
     pred = ColumnPredicate(subject_column, "in", values=tuple(subjects))
-    affected = [f for f in snap.files if pred.may_match(f)]
-    if not affected:
-        return PassResult("shred", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
-
     forget_df = spark.createDataFrame(
         [(s,) for s in subjects], f"{subject_column} string"
     ).withColumn("__forget", F.lit(True))
@@ -576,42 +654,65 @@ def shred(
             )
         return out.drop("__forget").select(*df.columns)
 
-    # every affected file is rewritten regardless of size: scan packing
-    # merges the small ones toward target size and SPLITS oversized
-    # ones (parquet row groups are splittable) into several right-sized
-    # outputs (regression: tests/test_shred_oversized.py). The
-    # tombstone projection is a broadcast join (narrow), and the
-    # per-partition zkey sort restores key order when clustered.
-    results = _rewrite_files_in_waves(
-        table,
-        spark,
-        ledger,
-        sorted(affected, key=lambda f: f.path),
-        f"shred-{pass_id}",
-        target_bytes=target_file_bytes,
-        transform=tombstone,
-        sort_col="zkey",
-        wave_files=wave_files,
-    )
-    removed = [p for r in results for p in r["inputs"]]
-    added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
-    new_snap = table.commit(
-        "shred",
-        added=added,
-        removed_paths=removed,
-        summary={"pass_id": pass_id, "subjects": subjects, "affected_files": len(affected)},
-    )
-    ledger.record_commit(new_snap.snapshot_id)
-    return PassResult(
-        "shred",
-        pass_id,
-        new_snap.snapshot_id,
-        rewritten_files=len(affected),
-        added_files=len(added),
-        rewritten_bytes=sum(f.bytes for f in affected),
-        seconds=time.time() - t0,
-        details={"affected_files": len(affected), "total_files": len(snap.files)},
-    )
+    last_err: Exception | None = None
+    for attempt in range(max_replans + 1):
+        snap = table.snapshot()
+        affected = [f for f in snap.files if pred.may_match(f)]
+        if not affected:
+            return PassResult("shred", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
+
+        # every affected file is rewritten regardless of size: scan
+        # packing merges the small ones toward target size and SPLITS
+        # oversized ones (parquet row groups are splittable) into
+        # several right-sized outputs (tests/test_shred_oversized.py).
+        # The tombstone projection is a broadcast join (narrow), and
+        # the per-partition zkey sort restores key order when clustered.
+        results = _rewrite_files_in_waves(
+            table,
+            spark,
+            ledger,
+            sorted(affected, key=lambda f: f.path),
+            f"shred-{pass_id}",
+            target_bytes=target_file_bytes,
+            transform=tombstone,
+            sort_col="zkey",
+            wave_files=wave_files,
+            task_prefix=f"a{attempt}-" if attempt else "",
+        )
+        removed = [p for r in results for p in r["inputs"]]
+        added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
+        try:
+            new_snap = table.commit_with_retry(
+                "shred",
+                added=added,
+                removed_paths=removed,
+                summary={
+                    "pass_id": pass_id,
+                    "subjects": subjects,
+                    "affected_files": len(affected),
+                    "replans": attempt,
+                },
+            )
+        except StaleDeltaError as e:
+            last_err = e
+            _drop_attempt_outputs(table, added)
+            continue
+        ledger.record_commit(new_snap.snapshot_id)
+        return PassResult(
+            "shred",
+            pass_id,
+            new_snap.snapshot_id,
+            rewritten_files=len(affected),
+            added_files=len(added),
+            rewritten_bytes=sum(f.bytes for f in affected),
+            seconds=time.time() - t0,
+            details={
+                "affected_files": len(affected),
+                "total_files": len(snap.files),
+                "replans": attempt,
+            },
+        )
+    raise last_err  # type: ignore[misc]
 
 
 def reencrypt(
@@ -624,6 +725,7 @@ def reencrypt(
     pass_id: str | None = None,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     wave_files: int = DEFAULT_WAVE_FILES,
+    max_replans: int = 3,
 ) -> PassResult:
     """Key-rotation rewrite (A-side versioning — the reference's own
     TODO, MostRecentMaterialsProvider.java:39-46): rewrite only the
@@ -632,7 +734,9 @@ def reencrypt(
     (``crypto.make_reencrypt_udf``); all other files stay untouched
     manifest entries, all other rows pass through byte-identical.
     Execution shape is exactly shred's: bloom-targeted inputs,
-    scan-packed waves, a narrow per-batch UDF, no shuffle.
+    scan-packed waves, a narrow per-batch UDF, no shuffle — and the
+    same conflict re-planning (a racing pass that rewrote this pass's
+    inputs triggers a fresh-snapshot re-target; see ``shred``).
 
     ``keys_versioned`` must come from ``KeyRegistry.key_map_versioned``
     (plain dict or broadcast) — old materials decrypt, the latest one
@@ -650,12 +754,7 @@ def reencrypt(
     if not subjects:
         return PassResult("reencrypt", pass_id, table.current_snapshot_id(), 0, 0, 0, 0.0, skipped=True)
 
-    snap = table.snapshot()
     pred = ColumnPredicate(subject_column, "in", values=tuple(subjects))
-    affected = [f for f in snap.files if pred.may_match(f)]
-    if not affected:
-        return PassResult("reencrypt", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
-
     udf = make_reencrypt_udf(keys_versioned, subjects)
 
     def reseal(df: DataFrame) -> DataFrame:
@@ -671,36 +770,59 @@ def reencrypt(
                 )
         return out.select(*df.columns)
 
-    results = _rewrite_files_in_waves(
-        table,
-        spark,
-        ledger,
-        sorted(affected, key=lambda f: f.path),
-        f"reencrypt-{pass_id}",
-        target_bytes=target_file_bytes,
-        transform=reseal,
-        sort_col="zkey",
-        wave_files=wave_files,
-    )
-    removed = [p for r in results for p in r["inputs"]]
-    added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
-    new_snap = table.commit(
-        "reencrypt",
-        added=added,
-        removed_paths=removed,
-        summary={"pass_id": pass_id, "subjects": subjects, "affected_files": len(affected)},
-    )
-    ledger.record_commit(new_snap.snapshot_id)
-    return PassResult(
-        "reencrypt",
-        pass_id,
-        new_snap.snapshot_id,
-        rewritten_files=len(affected),
-        added_files=len(added),
-        rewritten_bytes=sum(f.bytes for f in affected),
-        seconds=time.time() - t0,
-        details={"affected_files": len(affected), "total_files": len(snap.files)},
-    )
+    last_err: Exception | None = None
+    for attempt in range(max_replans + 1):
+        snap = table.snapshot()
+        affected = [f for f in snap.files if pred.may_match(f)]
+        if not affected:
+            return PassResult("reencrypt", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True)
+
+        results = _rewrite_files_in_waves(
+            table,
+            spark,
+            ledger,
+            sorted(affected, key=lambda f: f.path),
+            f"reencrypt-{pass_id}",
+            target_bytes=target_file_bytes,
+            transform=reseal,
+            sort_col="zkey",
+            wave_files=wave_files,
+            task_prefix=f"a{attempt}-" if attempt else "",
+        )
+        removed = [p for r in results for p in r["inputs"]]
+        added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
+        try:
+            new_snap = table.commit_with_retry(
+                "reencrypt",
+                added=added,
+                removed_paths=removed,
+                summary={
+                    "pass_id": pass_id,
+                    "subjects": subjects,
+                    "affected_files": len(affected),
+                    "replans": attempt,
+                },
+            )
+        except StaleDeltaError as e:
+            last_err = e
+            _drop_attempt_outputs(table, added)
+            continue
+        ledger.record_commit(new_snap.snapshot_id)
+        return PassResult(
+            "reencrypt",
+            pass_id,
+            new_snap.snapshot_id,
+            rewritten_files=len(affected),
+            added_files=len(added),
+            rewritten_bytes=sum(f.bytes for f in affected),
+            seconds=time.time() - t0,
+            details={
+                "affected_files": len(affected),
+                "total_files": len(snap.files),
+                "replans": attempt,
+            },
+        )
+    raise last_err  # type: ignore[misc]
 
 
 def rotate_many_and_reencrypt(
@@ -817,8 +939,10 @@ def maintain(
     small_file_threshold: int = 16,
     cluster_backlog_threshold: int = 8,
     keep_last_snapshots: int = 3,
-    curve: str = "morton",
+    curve: str | None = None,
     small_ratio: float = 0.75,
+    cluster_columns=None,
+    cluster_bits: int | None = None,
 ) -> dict:
     """One steady-state maintenance cycle — the idempotent unit a
     scheduler runs continuously against a live table:
@@ -833,7 +957,23 @@ def maintain(
     Each trigger reads ONLY the manifest (O(files) driver work, no
     Spark job), so a no-op cycle costs microseconds — safe to run
     every few minutes at any scale. Returns which passes ran and
-    their results."""
+    their results.
+
+    Clustering parameters (``curve`` / ``cluster_columns`` /
+    ``cluster_bits``) default to the table's OWN layout provenance —
+    the most recent snapshot summary carrying ``cluster_columns`` — so
+    the steady-state scheduler preserves a custom layout instead of
+    silently re-clustering appends under module defaults (which would
+    overwrite the table's layout contract and defeat the merge path's
+    provenance gate). Module defaults apply only to a never-clustered
+    table; explicit arguments always win."""
+    prov = _cluster_provenance(table) or {}
+    if curve is None:
+        curve = prov.get("curve", "morton")
+    if cluster_columns is None:
+        cluster_columns = prov.get("cluster_columns", ["repo", "lang", "path"])
+    if cluster_bits is None:
+        cluster_bits = prov.get("bits", 16)
     out: dict = {}
     files = table.snapshot().files
     # CLUSTER FIRST: compacting a mix of clustered small files and
@@ -867,7 +1007,9 @@ def maintain(
         out["cluster"] = cluster(
             table,
             spark,
+            columns=tuple(cluster_columns),
             curve=curve,
+            bits=cluster_bits,
             target_file_bytes=target_file_bytes,
             incremental=len(backlog) < len(files),
         )
@@ -897,18 +1039,66 @@ def forget_and_shred(table: Table, spark: SparkSession, registry, subject_id: st
 # ---------------------------------------------------------------------------
 
 
+DEFAULT_DISTRIBUTE_EXPIRE_THRESHOLD = 200_000  # manifest entries
+
+
+def _snapshot_manifest_files(table: Table, snaps: list[dict]) -> list[str]:
+    """Deduped manifest-file names (v2 shards or v1 manifests) holding
+    the data-file entries of the given snapshot entries. Driver cost is
+    O(shards) — 10^-4 of the file count at the default shard size."""
+    out: set[str] = set()
+    for s in snaps:
+        if "manifest_list" in s:
+            for sh in table._read_meta_json(s["manifest_list"])["manifests"]:
+                out.add(sh["path"])
+        else:
+            out.add(s["manifest"])
+    return sorted(out)
+
+
+def _manifest_paths_df(spark: SparkSession, meta_dir: str, manifest_files: list[str]):
+    """Data-file paths of the given manifest files as a DataFrame —
+    each executor task opens its slice of shard JSONs, so no full file
+    listing ever materializes on the driver (the shared-storage
+    assumption all lakehouse metadata work rests on)."""
+    sc = spark.sparkContext
+
+    def part(names):
+        import json as _json
+
+        for name in names:
+            with open(os.path.join(meta_dir, name), "r", encoding="utf-8") as fh:
+                for f in _json.load(fh)["files"]:
+                    yield (f["path"],)
+
+    n_slices = max(1, min(len(manifest_files), sc.defaultParallelism * 2))
+    return spark.createDataFrame(
+        sc.parallelize(manifest_files, n_slices).mapPartitions(part), "path string"
+    )
+
+
+def _estimated_entries(snaps: list[dict]) -> int:
+    return sum(int(s.get("summary", {}).get("total-files", 0)) for s in snaps)
+
+
 def expire_snapshots(
     table: Table,
     keep_last: int = 1,
     older_than_ms: int | None = None,
+    spark: SparkSession | None = None,
+    distribute_threshold: int = DEFAULT_DISTRIBUTE_EXPIRE_THRESHOLD,
 ) -> dict:
     """Expire old snapshots and delete data files whose reference count
     across *retained* snapshots is zero.
 
-    Refcounting is a set-difference over manifest entries; at sandbox
-    scale it runs on the driver, and the same fold distributes as a
-    DataFrame groupBy over manifest rows when file counts outgrow
-    driver memory (SURVEY.md §4.3 driver-metadata note)."""
+    Refcounting is a set-difference over manifest entries. Below
+    ``distribute_threshold`` estimated entries (or with no ``spark``
+    handle) it folds on the driver; above it, the fold runs as a
+    DataFrame anti-join over manifest rows read executor-side
+    (``expired EXCEPT retained`` on path) — the driver only ever
+    streams the final DELETABLE list (``toLocalIterator``), never the
+    full listing, which is what survives a 10^12-file table. Both paths
+    produce identical deletions (tests/test_round5.py)."""
     version = table.current_version()
     meta = table._metadata(version)
     snaps = meta["snapshots"]
@@ -925,18 +1115,44 @@ def expire_snapshots(
     if not expired:
         return {"expired_snapshots": 0, "deleted_files": 0}
 
-    referenced = set()
-    referenced_meta = set()
+    distribute = (
+        spark is not None and _estimated_entries(retained + expired) >= distribute_threshold
+    )
+
+    # manifest shards are shared across snapshots (commit reuses
+    # untouched shards by reference): refcount them like data files.
+    # This stays driver-side in BOTH modes — shard count is file count
+    # / shard_size, four orders of magnitude smaller.
+    referenced_meta: set = set()
     for s in retained:
-        referenced |= table.manifest_data_paths(s)
         referenced_meta |= table.manifest_meta_files(s)
-    deletable = set()
-    deletable_meta = set()
+    deletable_meta: set = set()
     for s in expired:
-        deletable |= table.manifest_data_paths(s) - referenced
-        # manifest shards are shared across snapshots (commit reuses
-        # untouched shards by reference): refcount them like data files
         deletable_meta |= table.manifest_meta_files(s) - referenced_meta
+
+    if distribute:
+        exp_manifests = _snapshot_manifest_files(table, expired)
+        ret_manifests = _snapshot_manifest_files(table, retained)
+        # shards referenced by a retained snapshot cannot contribute a
+        # deletable path (every path in them is retained): pruning them
+        # from the expired read halves the scan in the common case
+        exp_only = [m for m in exp_manifests if m not in set(ret_manifests)]
+        deletable_df = (
+            _manifest_paths_df(spark, table._meta_dir, exp_only)
+            .distinct()
+            .join(
+                _manifest_paths_df(spark, table._meta_dir, ret_manifests),
+                "path",
+                "left_anti",
+            )
+        )
+    else:
+        referenced = set()
+        for s in retained:
+            referenced |= table.manifest_data_paths(s)
+        deletable = set()
+        for s in expired:
+            deletable |= table.manifest_data_paths(s) - referenced
 
     # Metadata-first (Iceberg's expire ordering): commit the trimmed
     # snapshot list BEFORE touching any data file. A crash after this
@@ -951,27 +1167,44 @@ def expire_snapshots(
     # thread pool overlaps the unlink round-trips — on object storage
     # these are HTTP DELETEs (batchable), and even locally this host's
     # intermittent syscall stalls made serial deletes the expire
-    # phase's entire cost.
+    # phase's entire cost. In distributed mode the deletable list
+    # STREAMS through the pool (bounded driver memory); the expired
+    # shard JSONs are still on disk here — they are deleted last.
     from concurrent.futures import ThreadPoolExecutor
 
     def _rm(p: str) -> None:
         if os.path.exists(p):
             os.remove(p)
 
-    targets = [os.path.join(table.root, rel) for rel in sorted(deletable)] + [
-        os.path.join(table._meta_dir, name) for name in sorted(deletable_meta)
-    ]
-    if targets:
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            list(ex.map(_rm, targets))
+    n_deleted = 0
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        if distribute:
+            for _ in ex.map(
+                _rm,
+                (
+                    os.path.join(table.root, r.path)
+                    for r in deletable_df.toLocalIterator()
+                ),
+            ):
+                n_deleted += 1
+        else:
+            n_deleted = len(deletable)
+            list(ex.map(_rm, (os.path.join(table.root, rel) for rel in sorted(deletable))))
+        list(ex.map(_rm, (os.path.join(table._meta_dir, name) for name in sorted(deletable_meta))))
     return {
         "expired_snapshots": len(expired),
-        "deleted_files": len(deletable),
+        "deleted_files": n_deleted,
         "retained_snapshots": len(retained),
+        "distributed": distribute,
     }
 
 
-def remove_orphans(table: Table, older_than_ms: int | None = None) -> dict:
+def remove_orphans(
+    table: Table,
+    older_than_ms: int | None = None,
+    spark: SparkSession | None = None,
+    distribute_threshold: int = DEFAULT_DISTRIBUTE_EXPIRE_THRESHOLD,
+) -> dict:
     """Delete data files not referenced by ANY snapshot of the current
     metadata (Iceberg's remove_orphan_files).
 
@@ -980,13 +1213,69 @@ def remove_orphans(table: Table, older_than_ms: int | None = None) -> dict:
     disk; this sweep reclaims them. The ``older_than_ms`` cutoff
     (default: 3 hours ago) protects files being written by an
     in-flight, not-yet-committed pass — never sweep with a cutoff
-    younger than your longest-running pass."""
+    younger than your longest-running pass.
+
+    Scale shape mirrors ``expire_snapshots``: below
+    ``distribute_threshold`` estimated entries (or with no ``spark``)
+    the walk + set-membership runs on the driver; above it, the
+    LISTING distributes (one executor task walks one pass directory —
+    the directory layout is one subdir per write pass, so the fan-out
+    is natural), the reference set is a manifest-row DataFrame, and
+    orphans surface via anti-join with the mtime guard applied
+    executor-side. The driver only streams the deletable list."""
     cutoff_ms = older_than_ms if older_than_ms is not None else int(time.time() * 1000) - 3 * 3600 * 1000
+    data_root = os.path.join(table.root, "data")
+    snaps = table.snapshots()
+    distribute = spark is not None and _estimated_entries(snaps) >= distribute_threshold
+
+    if distribute:
+        manifest_files = _snapshot_manifest_files(table, snaps)
+        referenced_df = _manifest_paths_df(spark, table._meta_dir, manifest_files).distinct()
+        pass_dirs = sorted(
+            os.path.join(data_root, d)
+            for d in os.listdir(data_root)
+            if os.path.isdir(os.path.join(data_root, d))
+        ) or [data_root]
+        sc = spark.sparkContext
+        rootv = table.root
+        cutoffv = cutoff_ms
+
+        def list_part(dirs):
+            for d in dirs:
+                for dirpath, _dn, filenames in os.walk(d):
+                    for name in filenames:
+                        abs_p = os.path.join(dirpath, name)
+                        try:
+                            mtime_ms = os.path.getmtime(abs_p) * 1000
+                        except OSError:
+                            continue  # deleted under us
+                        if mtime_ms >= cutoffv:
+                            continue  # possibly an in-flight write
+                        yield (os.path.relpath(abs_p, rootv),)
+
+        n_slices = max(1, min(len(pass_dirs), sc.defaultParallelism * 2))
+        listing_df = spark.createDataFrame(
+            sc.parallelize(pass_dirs, n_slices).mapPartitions(list_part), "path string"
+        )
+        orphans_df = listing_df.join(referenced_df, "path", "left_anti")
+        deleted = 0
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _rm(p: str) -> None:
+            if os.path.exists(p):
+                os.remove(p)
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            for _ in ex.map(
+                _rm, (os.path.join(table.root, r.path) for r in orphans_df.toLocalIterator())
+            ):
+                deleted += 1
+        return {"deleted": deleted, "distributed": True}
+
     referenced: set[str] = set()
-    for s in table.snapshots():
+    for s in snaps:
         referenced |= table.manifest_data_paths(s)
     deleted = 0
-    data_root = os.path.join(table.root, "data")
     for dirpath, _dirnames, filenames in os.walk(data_root):
         for name in filenames:
             abs_p = os.path.join(dirpath, name)
@@ -997,4 +1286,4 @@ def remove_orphans(table: Table, older_than_ms: int | None = None) -> dict:
                 continue  # possibly an in-flight write
             os.remove(abs_p)
             deleted += 1
-    return {"deleted": deleted, "referenced": len(referenced)}
+    return {"deleted": deleted, "referenced": len(referenced), "distributed": False}

@@ -116,6 +116,7 @@ def forget_stream(
     query_name: str = "pi2spark-forget",
     trigger_available_now: bool = True,
     target_file_bytes: int = 128 * 1024 * 1024,
+    max_subjects_per_pass: int = 1024,
 ):
     """Continuous right-to-be-forgotten queue: consume the reference's
     KMS command stream (``kms/kafka_provider.proto:6-21`` — the
@@ -142,54 +143,84 @@ def forget_stream(
     batch is safe end-to-end: the rotation pass records its minted
     material id in the pass ledger before any rewrite, so the replay
     reuses it instead of minting again (see
-    ``maintenance.rotate_and_reencrypt``)."""
+    ``maintenance.rotate_and_reencrypt``).
+
+    Driver memory is BOUNDED regardless of batch size: the micro-batch
+    is first reduced distributed-side to one row per (subject,
+    command), then streamed through ``toLocalIterator`` in sorted
+    order, and FORGET victims shred in deterministic chunks of
+    ``max_subjects_per_pass`` (chunk index in the pass_id, so a replay
+    recomputes the identical chunking and each chunk's PassLedger
+    dedupes it). A poisoned/bulk command topic — e.g. a replay of a
+    year of commands into one batch — processes completely, one
+    bounded pass at a time, instead of collecting onto the driver."""
     from pi2spark.maintenance import rotate_and_reencrypt, shred
     from pi2spark.registry import FORGET, REGISTER, ROTATE
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        rows = batch_df.select("subject_id", "command").collect()
-        # command streams are human-action-rate (GDPR requests), so a
-        # driver collect of one micro-batch is bounded by construction
-        for r in rows:
-            if r.command == REGISTER:
-                registry.register(r.subject_id)
-        victims = sorted({r.subject_id for r in rows if r.command == FORGET})
-        for s in victims:
-            registry.forget(s)
-        if victims:
+        # distributed dedup + sort: the iterator below sees each
+        # (subject, command) once, in a deterministic order (replay
+        # safety depends on deterministic chunking), and driver memory
+        # is bounded by one partition of DISTINCT commands
+        cmds = (
+            batch_df.select("subject_id", "command")
+            .distinct()
+            .sort("subject_id", "command")
+            .toLocalIterator()
+        )
+        pending: list[str] = []  # FORGET victims awaiting a shred chunk
+        chunk_no = 0
+
+        def _flush_shred() -> None:
+            nonlocal pending, chunk_no
+            if not pending:
+                return
             shred(
                 table,
                 spark,
-                victims,
+                pending,
                 subject_column=subject_column,
                 envelope_columns=envelope_columns,
-                pass_id=f"{query_name}-batch{batch_id:08d}",
+                pass_id=f"{query_name}-batch{batch_id:08d}-c{chunk_no:04d}",
                 target_file_bytes=target_file_bytes,
             )
-        # ROTATE after FORGET: a subject both forgotten and rotated in
-        # one batch stays forgotten
-        rotations = sorted(
-            {r.subject_id for r in rows if r.command == ROTATE} - set(victims)
-        )
-        for s in rotations:
-            try:
+            pending, chunk_no = [], chunk_no + 1
+
+        for r in cmds:
+            if r.command == REGISTER:
+                registry.register(r.subject_id)
+            elif r.command == FORGET:
+                # key destroyed the instant the command is seen (the
+                # crypto-shred guarantee); the byte rewrite batches up
+                registry.forget(r.subject_id)
+                pending.append(r.subject_id)
+                if len(pending) >= max_subjects_per_pass:
+                    _flush_shred()
+            elif r.command == ROTATE:
+                # ROTATE for an unknown or forgotten subject is a no-op,
+                # NOT a poison pill (failing the micro-batch would
+                # replay-crash the queue forever). FORGET sorts before
+                # ROTATE, so a same-batch forget has already emptied the
+                # subject's materials and this pre-check skips it — a
+                # forgotten-and-rotated subject stays forgotten. Any
+                # OTHER failure inside the rotation pass fails the batch
+                # so the checkpoint replays it (a blanket KeyError catch
+                # here once swallowed real rotation failures after the
+                # mint — the rotation was silently lost with no retry).
+                if registry.latest_material_id(r.subject_id) is None:
+                    continue
                 rotate_and_reencrypt(
                     table,
                     spark,
                     registry,
-                    s,
+                    r.subject_id,
                     subject_column=subject_column,
                     envelope_columns=envelope_columns,
-                    pass_id=f"{query_name}-rot-b{batch_id:08d}-{s}",
+                    pass_id=f"{query_name}-rot-b{batch_id:08d}-{r.subject_id}",
                     target_file_bytes=target_file_bytes,
                 )
-            except KeyError:
-                # ROTATE for an unknown or already-forgotten subject
-                # (e.g. FORGET arrived in an earlier batch) is a no-op,
-                # NOT a poison pill: failing the micro-batch would
-                # replay-crash the whole command queue forever
-                continue
+        _flush_shred()
 
     writer = commands.writeStream.queryName(query_name).foreachBatch(_handle)
     if checkpoint_dir:

@@ -57,7 +57,12 @@ from typing import Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pi2spark.errors import ConcurrentCommitError, Pi2SparkError, SchemaNotFoundError
+from pi2spark.errors import (
+    ConcurrentCommitError,
+    Pi2SparkError,
+    SchemaNotFoundError,
+    StaleDeltaError,
+)
 
 STATS_COLUMNS_PROP = "stats.columns"
 DEFAULT_STATS_COLUMNS = ["repo", "path", "lang", "zkey"]
@@ -644,13 +649,17 @@ class Table:
         applicable (its removed files must still be live, which holds
         for disjoint maintenance passes, e.g. compaction groups vs an
         append). A delta made inapplicable by the winner (another pass
-        rewrote our inputs) surfaces as the underlying error after one
-        re-read; passes should then re-plan from the fresh snapshot."""
+        rewrote our inputs) surfaces as ``StaleDeltaError`` immediately
+        — retrying an inapplicable delta can never succeed; rewrite
+        passes catch it and RE-PLAN from the fresh snapshot (see
+        ``maintenance.compact`` / ``shred`` conflict re-planning)."""
         removed = list(removed_paths)
         last: Exception | None = None
         for attempt in range(max_retries + 1):
             try:
                 return self.commit(operation, added=added, removed_paths=removed, summary=summary)
+            except StaleDeltaError:
+                raise
             except ConcurrentCommitError as e:
                 last = e
                 time.sleep(0.05 * attempt)
@@ -667,7 +676,9 @@ class Table:
             parent_files = []
         missing = removed - {f.path for f in parent_files}
         if missing:
-            raise Pi2SparkError(f"cannot remove files absent from parent snapshot: {missing}")
+            raise StaleDeltaError(
+                f"cannot remove files absent from parent snapshot: {missing}"
+            )
         files = [f for f in parent_files if f.path not in removed] + list(added)
         manifest_name = f"snap-{sid}-{uuid.uuid4().hex[:8]}.json"
         mtmp = os.path.join(self._meta_dir, manifest_name + f".tmp-{uuid.uuid4().hex[:8]}")
@@ -708,7 +719,9 @@ class Table:
             rewrite[sh["path"]] = [e for e in entries if e["path"] not in removed]
         missing = removed - found
         if missing:
-            raise Pi2SparkError(f"cannot remove files absent from parent snapshot: {missing}")
+            raise StaleDeltaError(
+                f"cannot remove files absent from parent snapshot: {missing}"
+            )
 
         # pass 2 (write): rewrite affected shards, reuse the rest
         new_index: list[dict] = []
@@ -790,6 +803,45 @@ class Table:
         os.makedirs(absd, exist_ok=True)
         return rel, absd
 
+    def _schema_lock(self):
+        """Tiny mutual-exclusion lock for schema.json updates
+        (O_CREAT|O_EXCL create-if-absent — the portable atomic
+        primitive on both POSIX and object-store-gateway filesystems).
+        The critical section is a sub-millisecond read-merge-rename;
+        stale locks (a writer that died inside it) are broken after
+        10 s so a crash cannot wedge the table."""
+        import contextlib
+
+        lock = os.path.join(self._meta_dir, "schema.json.lock")
+
+        @contextlib.contextmanager
+        def _held():
+            deadline = time.time() + 30.0
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(lock) > 10.0:
+                            os.remove(lock)  # stale: holder died mid-update
+                            continue
+                    except OSError:
+                        continue  # raced the holder's release; retry
+                    if time.time() > deadline:
+                        raise Pi2SparkError(f"timed out waiting for {lock}") from None
+                    time.sleep(0.005)
+            try:
+                yield
+            finally:
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
+
+        return _held()
+
     def _persist_schema(self, schema) -> None:
         """Record the data-file schema in table metadata (write-once
         per distinct schema, atomic rename). Iceberg keeps the schema
@@ -798,32 +850,41 @@ class Table:
         inference JOB Spark otherwise runs per ``spark.read.parquet``
         — a parallelism-independent fixed cost paid by every pass.
         Schema changes here are additive only (``zkey`` appears after
-        the first clustering), so last-write-wins is safe."""
+        the first clustering).
+
+        The read-merge-rename runs under ``_schema_lock``: two
+        concurrent writers each adding a DIFFERENT new column (a
+        streaming micro-batch append racing a maintenance pass — a
+        supported scenario) would otherwise both read the old schema
+        and the last rename would silently drop the other writer's
+        field from the persisted union, after which schema-applied
+        reads drop that column's data."""
         import json as _json
 
         path = os.path.join(self._meta_dir, "schema.json")
-        if os.path.exists(path):
-            # merge by field name (UNION): an append after a clustering
-            # pass writes files without ``zkey``, but the stored schema
-            # must keep it — otherwise readers would silently drop the
-            # column from the clustered files. Existing field types win
-            # (schema evolution beyond add-column is out of scope).
-            from pyspark.sql.types import StructType
+        with self._schema_lock():
+            if os.path.exists(path):
+                # merge by field name (UNION): an append after a
+                # clustering pass writes files without ``zkey``, but the
+                # stored schema must keep it — otherwise readers would
+                # silently drop the column from the clustered files.
+                # Existing field types win.
+                from pyspark.sql.types import StructType
 
-            with open(path, "r", encoding="utf-8") as fh:
-                existing = StructType.fromJson(_json.load(fh))
-            known = {f.name for f in existing.fields}
-            extra = [f for f in schema.fields if f.name not in known]
-            if not extra:
-                return
-            merged = StructType(existing.fields + extra)
-            payload = merged.json()
-        else:
-            payload = schema.json()
-        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(payload)
-        os.rename(tmp, path)
+                with open(path, "r", encoding="utf-8") as fh:
+                    existing = StructType.fromJson(_json.load(fh))
+                known = {f.name for f in existing.fields}
+                extra = [f for f in schema.fields if f.name not in known]
+                if not extra:
+                    return
+                merged = StructType(existing.fields + extra)
+                payload = merged.json()
+            else:
+                payload = schema.json()
+            tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(payload)
+            os.rename(tmp, path)
 
     def data_schema(self):
         """The persisted data-file schema (StructType), or None for a
