@@ -19,16 +19,20 @@ NOISE METHODOLOGY (BENCH/BASELINE.md "host noise"): this sandbox host
 shows 3-5x run-to-run swings on identical Spark jobs (documented
 hypervisor syscall stalls). A single-trial bench is therefore a noise
 lottery. The harness runs the FULL maintenance chain ``BENCH_TRIALS``
-times (default 3) on fresh tables with identical deterministic input,
+times (default 5) on fresh tables with identical deterministic input,
 asserts the verification digest is identical across trials, and
 reports the per-phase MINIMUM — the only estimator that survives the
 documented stall pattern (stalls inflate, they never deflate). All
 trials are included in the JSON (``trials`` field) so a stalled trial
-is visible, not hidden.
+is visible, not hidden — and each trial is preceded by a HOST-NOISE
+PROBE (a fixed CPU+tmpfs-write workload whose wall time indexes the
+hypervisor stall state; ~0.1 s quiet, 10-100x inflated inside a stall
+window), reported alongside the trial so a reader can see which
+trials ran on a contaminated window without trusting any narrative.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default all cores), BENCH_ROWS (override row count),
-BENCH_TRIALS (default 3), BENCH_SKIP_ANALYTICS.
+BENCH_TRIALS (default 5), BENCH_SKIP_ANALYTICS.
 """
 
 from __future__ import annotations
@@ -41,6 +45,29 @@ import tempfile
 import time
 
 MAINT_PHASES = ["encrypt_append", "compact", "zorder", "shred", "expire", "verify_scan"]
+
+
+def _noise_probe() -> float:
+    """Host-noise index: wall time of a fixed CPU + tmpfs-syscall
+    workload (32 x 1 MiB /dev/shm writes + sha256 over 32 KiB). The
+    documented host pathology is threads stalling inside tmpfs write()
+    syscalls; this probe sits exactly on that path. Quiet host ~0.1 s;
+    a stall window inflates it by 1-2 orders of magnitude."""
+    import hashlib
+
+    t0 = time.time()
+    buf = b"\x5a" * (1 << 20)
+    d = hashlib.sha256()
+    for i in range(32):
+        p = f"/dev/shm/pi2spark-probe-{os.getpid()}-{i}"
+        with open(p, "wb") as fh:
+            fh.write(buf)
+        d.update(buf[:1024])
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    return time.time() - t0
 
 
 def main() -> None:
@@ -69,7 +96,7 @@ def _run_chain(spark, root: str, plain, n_rows: int, cpus: int) -> tuple[dict, d
     timings: dict[str, float] = {}
     spec = ProtectionSpec.for_source_files()
     reg = KeyRegistry(os.path.join(root, "kms.jsonl"))
-    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    reg.register_from_df(plain.select("repo").distinct())
     keys = broadcast_keys(spark, reg.key_map())
     t = Table.create(os.path.join(root, "tbl"))
 
@@ -129,7 +156,7 @@ def _run_chain(spark, root: str, plain, n_rows: int, cpus: int) -> tuple[dict, d
 def _main(root_holder: list) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
-    trials = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
+    trials = max(1, int(os.environ.get("BENCH_TRIALS", "5")))
     sf = _sf_from_dir(sf_dir)
     n_rows = int(os.environ.get("BENCH_ROWS", "0")) or max(2000, int(sf * 1_000_000))
 
@@ -158,8 +185,10 @@ def _main(root_holder: list) -> None:
 
     # ---- maintenance chain x trials (timed; per-phase minima) ----
     all_trials: list[dict] = []
+    noise_probes: list[float] = []
     meta = None
     for i in range(trials):
+        noise_probes.append(round(_noise_probe(), 3))
         root = tempfile.mkdtemp(prefix=f"pi2spark-bench-t{i}-")
         root_holder.append(root)
         trial_timings, trial_meta = _run_chain(spark, root, plain, n_rows, cpus)
@@ -223,6 +252,7 @@ def _main(root_holder: list) -> None:
                 {p: round(tr[p], 3) for p in MAINT_PHASES} for tr in all_trials
             ],
             "analytics": {k: [round(x, 3) for x in v] for k, v in analytics_trials.items()},
+            "noise_probe_sec": noise_probes,
         },
     }
     print(json.dumps(out))

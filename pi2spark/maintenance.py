@@ -158,7 +158,11 @@ def _rewrite_files_in_waves(
         paths = [os.path.join(table.root, f.path) for f in wave]
         schema = table.data_schema()
         reader = packer.read.schema(schema) if schema is not None else packer.read
-        df = reader.parquet(*paths)
+        # upgrade to the logical schema (no-op without evolution ops):
+        # transforms reference logical names (e.g. the shred tombstone
+        # join on the subject column), and rewritten files thereby
+        # migrate to the current schema — Iceberg's rewrite behavior
+        df = table.apply_schema_ops(reader.parquet(*paths))
         if transform is not None:
             df = transform(df)
         if sort_col is not None and sort_col in df.columns:
@@ -498,7 +502,9 @@ def cluster(
     if prior:
         added = [DataFile.from_json(d) for d in prior["outputs"]]
     else:
-        df = table.reader(spark).parquet(*[os.path.join(table.root, f.path) for f in in_files])
+        df = table.apply_schema_ops(
+            table.reader(spark).parquet(*[os.path.join(table.root, f.path) for f in in_files])
+        )
         # boundaries from MANIFEST stats when every input file carries
         # them — zero Spark jobs (the sample job was this pass's
         # parallelism-independent fixed cost); sample only as fallback
@@ -517,8 +523,10 @@ def cluster(
             if len(in_files) > 32:
                 stride = len(in_files) / 32.0
                 subset = [in_files[int(i * stride)] for i in range(32)]
-                sample_src = table.reader(spark).parquet(
-                    *[os.path.join(table.root, f.path) for f in subset]
+                sample_src = table.apply_schema_ops(
+                    table.reader(spark).parquet(
+                        *[os.path.join(table.root, f.path) for f in subset]
+                    )
                 )
                 subset_rows = sum(f.rows for f in subset)
             else:

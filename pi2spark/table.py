@@ -791,8 +791,10 @@ class Table:
             schema = self.data_schema()
             if schema is None:
                 raise Pi2SparkError("cannot scan an empty diff without schema")
-            return spark.createDataFrame([], schema)
-        return self.reader(spark).parquet(*[os.path.join(self.root, p) for p in new_files])
+            return self.apply_schema_ops(spark.createDataFrame([], schema))
+        return self.apply_schema_ops(
+            self.reader(spark).parquet(*[os.path.join(self.root, p) for p in new_files])
+        )
 
     # -- write path --
 
@@ -905,6 +907,198 @@ class Table:
         schema = self.data_schema()
         return spark.read.schema(schema) if schema is not None else spark.read
 
+    # -- schema evolution (add / rename with protection migration) --
+
+    def schema_ops(self) -> list[dict]:
+        """Ordered schema-evolution operations recorded in table
+        metadata (``add_column`` / ``rename_column``)."""
+        return self._metadata().get("schema_ops", [])
+
+    def apply_schema_ops(self, df: DataFrame) -> DataFrame:
+        """Project a physically-read DataFrame to the CURRENT logical
+        schema. Data files are never rewritten by evolution (Iceberg's
+        rule): a file written before ``rename_column(old, new)`` still
+        carries ``old`` physically, one written after carries ``new``,
+        and the physical union schema holds both — this projection
+        coalesces them into the logical column. Renames on columns the
+        frame lacks are no-ops, so the projection is valid for every
+        snapshot (time travel included). Maintenance rewrites route
+        through this too, so rewritten files are upgraded to the
+        logical schema as a side effect."""
+        ops = self.schema_ops()
+        if not ops:
+            return df
+        from pyspark.sql import functions as F
+
+        for op in ops:
+            if op["op"] == "rename":
+                old, new = op["from"], op["to"]
+                if old in df.columns and new in df.columns:
+                    df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+                elif old in df.columns:
+                    df = df.withColumnRenamed(old, new)
+            elif op["op"] == "add":
+                if op["name"] not in df.columns:
+                    df = df.withColumn(op["name"], F.lit(None).cast(op["type"]))
+        return df
+
+    def _logical_columns(self) -> list[str]:
+        """Column names of the current logical schema (physical union
+        with evolution ops applied)."""
+        schema = self.data_schema()
+        names = [f.name for f in schema.fields] if schema is not None else []
+        for op in self.schema_ops():
+            if op["op"] == "rename":
+                if op["from"] in names:
+                    if op["to"] in names:
+                        names.remove(op["from"])
+                    else:
+                        names[names.index(op["from"])] = op["to"]
+            elif op["op"] == "add":
+                if op["name"] not in names:
+                    names.append(op["name"])
+        return names
+
+    def add_column(self, name: str, dtype: str, pii: bool = False) -> None:
+        """Add a nullable column to the logical schema (metadata-only —
+        no data file is touched; existing rows read as NULL via the
+        explicit reader schema). ``dtype`` is a Spark DDL type string
+        ("string", "bigint", ...). ``pii=True`` additionally marks the
+        column as personal data in the stored protection document so
+        the compiled spec protects it from the first write (spark
+        dialect only). ``dtype`` may also be a DataType instance."""
+        from pyspark.sql import types as T
+        from pyspark.sql.types import StructField, StructType
+
+        if name in self._logical_columns():
+            raise Pi2SparkError(f"column {name!r} already exists")
+        if isinstance(dtype, T.DataType):
+            dt = dtype
+        else:
+            atomic = {
+                "string": T.StringType(), "bigint": T.LongType(),
+                "long": T.LongType(), "int": T.IntegerType(),
+                "integer": T.IntegerType(), "double": T.DoubleType(),
+                "float": T.FloatType(), "boolean": T.BooleanType(),
+                "binary": T.BinaryType(), "timestamp": T.TimestampType(),
+                "date": T.DateType(),
+            }
+            dt = atomic.get(dtype)
+            if dt is None:
+                # complex DDL (arrays/structs) parses through the active
+                # session's DDL parser
+                dt = T._parse_datatype_string(dtype)
+        version = self.current_version()
+        meta = self._metadata(version)
+        meta.setdefault("schema_ops", []).append(
+            {"op": "add", "name": name, "type": dt.simpleString()}
+        )
+        if pii:
+            prot = meta.get("protection")
+            if not prot or prot.get("dialect") != "spark":
+                raise Pi2SparkError(
+                    "pii=True requires a spark-dialect protection document; "
+                    "use set_protection() for other dialects"
+                )
+            import json as _json
+
+            from pi2spark.spec import PERSONAL_DATA_KEY
+
+            doc = StructType.fromJson(_json.loads(prot["document"]))
+            doc = StructType(
+                doc.fields + [StructField(name, dt, True, {PERSONAL_DATA_KEY: True})]
+            )
+            meta["protection"] = {"dialect": "spark", "document": doc.json()}
+        self._write_version(version + 1, meta)
+        # physical union schema gains the field so the explicit reader
+        # schema surfaces it (as NULL) for every existing file
+        schema = self.data_schema()
+        if schema is not None:
+            self._persist_schema(StructType(schema.fields + [StructField(name, dt, True)]))
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Rename a column in the logical schema (metadata-only). Data
+        files are NOT rewritten: reads coalesce the physical old/new
+        columns into the logical name (``apply_schema_ops``), so every
+        snapshot — including pre-rename time travel — scans under the
+        evolved schema.
+
+        Protection-spec migration: a renamed subject/PII column is
+        renamed inside the stored protection document (markers
+        preserved), so ``protection_spec()`` keeps compiling and the
+        crypto swap binds to the new name. A renamed PII column's
+        ENVELOPE binding survives two ways: the envelope column is
+        logically renamed with it (``<old>_enc`` → ``<new>_enc``, so
+        the naming convention holds), and envelopes inside pre-rename
+        files still carry the ``pi2schema-envelope-for`` field metadata
+        (written by encrypt_table) as a fallback marker. Stats/bloom
+        property lists gain the new name (old entries are harmless —
+        absent columns are skipped at collection; old files keep their
+        stats under the old name and simply stop pruning, exactly
+        Iceberg's behavior for renamed partition sources)."""
+        names = self._logical_columns()
+        version = self.current_version()
+        meta = self._metadata(version)
+        # an encrypted table's PII column exists only in the protection
+        # document (encrypt_table swapped it for <col>_enc on disk):
+        # renaming it is still legal — the rename binds at decrypt time
+        prot_names: set[str] = set()
+        prot0 = meta.get("protection")
+        if prot0 and prot0.get("dialect") == "spark":
+            import json as _json
+
+            from pyspark.sql.types import StructType as _ST
+
+            prot_names = {f.name for f in _ST.fromJson(_json.loads(prot0["document"])).fields}
+        if old not in names and old not in prot_names:
+            raise Pi2SparkError(f"column {old!r} does not exist")
+        if new in names or new in prot_names:
+            raise Pi2SparkError(f"column {new!r} already exists")
+        ops = meta.setdefault("schema_ops", [])
+        ops.append({"op": "rename", "from": old, "to": new})
+
+        prot = meta.get("protection")
+        if prot:
+            if prot.get("dialect") != "spark":
+                raise Pi2SparkError(
+                    f"cannot auto-migrate a {prot.get('dialect')!r}-dialect "
+                    "protection document on rename; call set_protection() with "
+                    "the updated document first"
+                )
+            import json as _json
+
+            from pyspark.sql.types import StructField, StructType
+
+            from pi2spark.spec import PERSONAL_DATA_KEY
+
+            doc = StructType.fromJson(_json.loads(prot["document"]))
+            was_pii = False
+            fields = []
+            for f in doc.fields:
+                if f.name == old:
+                    was_pii = bool((f.metadata or {}).get(PERSONAL_DATA_KEY))
+                    fields.append(StructField(new, f.dataType, f.nullable, f.metadata))
+                else:
+                    fields.append(f)
+            meta["protection"] = {
+                "dialect": "spark",
+                "document": StructType(fields).json(),
+            }
+            if was_pii:
+                # keep the envelope naming convention intact: the
+                # envelope column rides along logically
+                ops.append({"op": "rename", "from": f"{old}_enc", "to": f"{new}_enc"})
+
+        props = meta.setdefault("properties", {})
+        for key in (STATS_COLUMNS_PROP, BLOOM_COLUMNS_PROP):
+            cols = props.get(
+                key,
+                DEFAULT_STATS_COLUMNS if key == STATS_COLUMNS_PROP else DEFAULT_BLOOM_COLUMNS,
+            )
+            if old in cols and new not in cols:
+                props[key] = list(cols) + [new]
+        self._write_version(version + 1, meta)
+
     def write_files(
         self,
         df: DataFrame,
@@ -989,6 +1183,7 @@ class Table:
                 df = spark.read.parquet(os.path.join(self.root, all_files[0].path)).limit(0)
         else:
             df = self.reader(spark).parquet(*[os.path.join(self.root, f.path) for f in files])
+        df = self.apply_schema_ops(df)
         if columns:
             df = df.select(*columns)
         return df
