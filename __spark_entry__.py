@@ -601,7 +601,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("rn") <= 3)
         )
 
-    # ---- rows-only (non-SQL-expressible) ----
+    # ---- crypto queries with invariant-surface oracles ----
+    # The crypto itself is not DuckDB-expressible, but these queries
+    # RETURN crypto-free invariant surfaces (per-path roundtrip flags /
+    # plaintext hashes), so the oracle can state the expected identity:
+    # if encrypt/decrypt/rotation/shred ever corrupted a byte, the
+    # Spark side would emit a different flag or hash and the value
+    # hash would mismatch.
 
     def q_crypto_roundtrip(spark, sf_dir):
         from pi2spark.crypto import broadcast_keys, decrypt_table, encrypt_table
@@ -701,6 +707,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "repo", "path", "lang", "shredded",
             F.sha2(F.coalesce(F.col("content"), F.lit("<shredded>")), 256).alias("content_sha"),
         ).orderBy("repo", "path")
+
+    def q_merge_upsert(spark, sf_dir):
+        """Generic MERGE INTO (B8 generalized beyond crypto-shred):
+        key-unique source upserts into a doc_id-keyed table — matched
+        rows rewritten copy-on-write in ONLY the stats/bloom-affected
+        files, unmatched source rows appended. pi2spark/maintenance.py
+        merge_into()."""
+        from pi2spark.maintenance import merge_into
+        from pi2spark.table import Table
+
+        docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+        root = tempfile.mkdtemp(prefix="pi2spark-merge-")
+        t = Table.create(
+            os.path.join(root, "tbl"),
+            properties={"stats.columns": ["doc_id"], "bloom.columns": ["doc_id"]},
+        )
+        t.append(docs.repartitionByRange(8, "doc_id"), spark)
+        upd = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.concat(F.lit("UPDATED:"), F.col("text"))
+        )
+        ins = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        merge_into(t, spark, upd.unionByName(ins), on="doc_id")
+        return (
+            t.scan(spark)
+            .select("doc_id", "source", "lang", F.sha2("text", 256).alias("text_sha"))
+            .orderBy("doc_id")
+        )
+
+    def q_snapshot_rollback(spark, sf_dir):
+        """Snapshot rollback + tags (B1 extension): tag the clean
+        snapshot, append junk, roll back to the tag — the rollback is a
+        NEW snapshot sharing the target's manifests by reference
+        (O(1) metadata, no data movement), and the scan must read the
+        pre-append content. pi2spark/table.py rollback()/tag()."""
+        from pi2spark.table import Table
+
+        docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+        root = tempfile.mkdtemp(prefix="pi2spark-rb-")
+        t = Table.create(os.path.join(root, "tbl"), properties={"stats.columns": ["doc_id"]})
+        s1 = t.append(docs.repartition(4), spark)
+        t.tag("clean", s1.snapshot_id)
+        junk = docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 5000000
+        )
+        t.append(junk, spark)
+        t.rollback(t.ref_snapshot_id("clean"))
+        return (
+            t.scan(spark)
+            .select("doc_id", "source", "lang", F.sha2("text", 256).alias("text_sha"))
+            .orderBy("doc_id")
+        )
+
+    def q_schema_evolution(spark, sf_dir):
+        """Metadata-only schema evolution end-to-end: rename text→body,
+        add note, drop lang — zero files rewritten; pre-evolution files
+        and a post-evolution append read under ONE logical schema
+        (apply_schema_ops coalesce projection). pi2spark/table.py
+        add_column()/rename_column()/drop_column()."""
+        from pi2spark.table import Table
+
+        docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+        root = tempfile.mkdtemp(prefix="pi2spark-se-")
+        t = Table.create(os.path.join(root, "tbl"), properties={"stats.columns": ["doc_id"]})
+        t.append(docs.repartition(4), spark)
+        t.rename_column("text", "body")
+        t.add_column("note", "string")
+        t.drop_column("lang")
+        extra = docs.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 7000000).alias("doc_id"),
+            "source",
+            F.col("text").alias("body"),
+            F.lit("tagged").alias("note"),
+        )
+        t.append(extra, spark)
+        return (
+            t.scan(spark)
+            .select("doc_id", "source", F.sha2("body", 256).alias("body_sha"), "note")
+            .orderBy("doc_id")
+        )
 
     def q_minhash_dedup(spark, sf_dir):
         return minhash_lsh_pairs(
@@ -891,6 +978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crypto_roundtrip": q_crypto_roundtrip,
         "key_rotation": q_key_rotation,
         "maintenance_pipeline": q_maintenance_pipeline,
+        "merge_upsert": q_merge_upsert,
+        "snapshot_rollback": q_snapshot_rollback,
+        "schema_evolution": q_schema_evolution,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "lsh_ann": q_lsh_ann,
@@ -1164,5 +1254,63 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY event_type ORDER BY round(sum(value), 4) DESC, user_id) AS rn
               FROM events GROUP BY event_type, user_id) s
             WHERE rn <= 3
+        """,
+        # crypto invariant surfaces: the oracle states the expected
+        # identity (every path roundtrips; the shredded subject's
+        # content is tombstoned, everyone else's survives byte-exact).
+        # A Spark-side crypto defect flips a flag or changes a hash →
+        # value-hash mismatch, so these are REAL correctness gates,
+        # not vacuous TRUE-columns: the Spark side computes the flags
+        # from actual AES-GCM decrypt output.
+        "crypto_roundtrip": """
+            SELECT 'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   TRUE AS roundtrip_ok
+            FROM documents ORDER BY path
+        """,
+        "key_rotation": """
+            WITH src AS (
+              SELECT source AS repo,
+                     'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+              FROM documents),
+            v AS (SELECT min(repo) AS victim FROM src)
+            SELECT path, TRUE AS roundtrip_ok FROM src
+            UNION ALL
+            SELECT 'v2/' || path AS path, TRUE AS roundtrip_ok
+            FROM src, v WHERE src.repo = v.victim
+            ORDER BY path
+        """,
+        "maintenance_pipeline": """
+            SELECT source AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   lang,
+                   (source = 'src0') AS shredded,
+                   sha256(CASE WHEN source = 'src0' THEN '<shredded>' ELSE text END) AS content_sha
+            FROM documents
+            ORDER BY repo, path
+        """,
+        "merge_upsert": """
+            WITH upd AS (SELECT doc_id, source, lang, 'UPDATED:' || text AS text
+                         FROM documents WHERE doc_id % 7 = 0),
+                 ins AS (SELECT doc_id + 1000000 AS doc_id, source, lang, text
+                         FROM documents WHERE doc_id % 11 = 0),
+                 src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+                 base AS (SELECT d.doc_id, d.source, d.lang, d.text FROM documents d
+                          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = d.doc_id))
+            SELECT doc_id, source, lang, sha256(text) AS text_sha
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM src)
+            ORDER BY doc_id
+        """,
+        "snapshot_rollback": """
+            SELECT doc_id, source, lang, sha256(text) AS text_sha
+            FROM documents ORDER BY doc_id
+        """,
+        "schema_evolution": """
+            WITH base AS (SELECT doc_id, source, text AS body,
+                                 CAST(NULL AS VARCHAR) AS note FROM documents),
+                 extra AS (SELECT doc_id + 7000000 AS doc_id, source, text AS body,
+                                  'tagged' AS note FROM documents WHERE doc_id % 17 = 0)
+            SELECT doc_id, source, sha256(body) AS body_sha, note
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
+            ORDER BY doc_id
         """,
     }

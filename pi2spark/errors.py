@@ -130,6 +130,12 @@ class ConcurrentCommitError(Pi2SparkError):
     """Optimistic-concurrency failure: table version advanced under us."""
 
 
+class AmbiguousMergeSourceError(Pi2SparkError):
+    """MERGE INTO source has duplicate rows for a key: which payload
+    should win is undefined, so the merge refuses (Delta Lake's
+    multiple-source-rows-matched error)."""
+
+
 class StaleDeltaError(ConcurrentCommitError):
     """A commit's file delta no longer applies: a concurrent winner
     rewrote (removed) files this commit expected to remove. Retrying

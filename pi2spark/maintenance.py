@@ -50,7 +50,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pi2spark.checkpoint import PassLedger
-from pi2spark.errors import MissingCryptoMaterialsError, StaleDeltaError
+from pi2spark.errors import (
+    AmbiguousMergeSourceError,
+    MissingCryptoMaterialsError,
+    Pi2SparkError,
+    StaleDeltaError,
+)
 from pi2spark.table import (
     ColumnPredicate,
     DataFile,
@@ -723,6 +728,235 @@ def shred(
     raise last_err  # type: ignore[misc]
 
 
+def merge_into(
+    table: Table,
+    spark: SparkSession,
+    source: DataFrame,
+    on,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    pass_id: str | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    wave_files: int = DEFAULT_WAVE_FILES,
+    max_replans: int = 3,
+    broadcast_key_cap: int = 500_000,
+) -> PassResult:
+    """Generic key-based MERGE INTO (upsert/delete) — the general form
+    of the shred pass's MERGE shape (SURVEY.md §2 B8): copy-on-write
+    rewrite of ONLY the data files whose stats/blooms may contain a
+    source key; every other file stays an untouched manifest entry.
+
+    Semantics (Delta/Iceberg MERGE subset, keyed):
+      * ``on`` — key column(s); the source must be key-unique
+        (``AmbiguousMergeSourceError`` otherwise — Delta's
+        multiple-matches rule) and key columns must be non-null.
+      * ``when_matched`` — ``"update"`` (target row's payload columns
+        replaced by the source's; columns absent from the source keep
+        their target values) or ``"delete"``.
+      * ``when_not_matched`` — ``"insert"`` (source rows matching no
+        target row append, absent columns NULL) or ``"skip"``.
+
+    100 TB shape: source keys are counted with one agg job (never an
+    unbounded collect). Small key sets (≤ ``broadcast_key_cap``,
+    single key column) prune files near-exactly through the existing
+    stats+bloom "in" predicate and rewrite affected files in
+    shuffle-free scan-packed waves with a broadcast merge join — the
+    shred execution shape. Larger sources fall back to range pruning
+    (key min/max from the same agg) and a single shuffled rewrite job
+    (Spark/AQE plans the join strategy and handles skew). Inserts are
+    found with an anti-join against the AFFECTED files' keys only —
+    sound because a file the pruner skipped provably contains no
+    source key.
+
+    Conflict re-planning is shred's protocol: a concurrent winner that
+    rewrote this pass's inputs (``StaleDeltaError``) drops the
+    attempt's orphaned outputs and re-plans from the fresh snapshot —
+    re-pruning is correctness, not liveness, because matched rows may
+    now live in the winner's outputs."""
+    t0 = time.time()
+    keys = [on] if isinstance(on, str) else list(on)
+    if when_matched not in ("update", "delete"):
+        raise Pi2SparkError(f"when_matched must be update|delete, got {when_matched!r}")
+    if when_not_matched not in ("insert", "skip"):
+        raise Pi2SparkError(
+            f"when_not_matched must be insert|skip, got {when_not_matched!r}"
+        )
+    pass_id = pass_id or _new_pass_id("merge")
+    ledger = PassLedger(table.root, pass_id)
+    if ledger.committed:
+        return PassResult(
+            "merge", pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True
+        )
+
+    # one agg job: source cardinality + key-uniqueness + per-key range
+    agg_exprs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("__nd"),
+    ]
+    for k in keys:
+        agg_exprs += [F.min(k).alias(f"__mn_{k}"), F.max(k).alias(f"__mx_{k}")]
+    stats = source.agg(*agg_exprs).first()
+    n_src = stats["__n"]
+    if n_src == 0:
+        return PassResult(
+            "merge", pass_id, table.current_snapshot_id(), 0, 0, 0,
+            time.time() - t0, skipped=True,
+        )
+    if stats["__nd"] != n_src:
+        raise AmbiguousMergeSourceError(
+            f"merge source has {n_src - stats['__nd']} duplicate or NULL key rows on {keys}"
+        )
+
+    # near-exact pruning path: collect the key set when it is small —
+    # the limit bounds the driver transfer even against a huge source
+    key_rows = None
+    if n_src <= broadcast_key_cap and len(keys) == 1:
+        key_rows = [
+            r[0]
+            for r in source.select(keys[0])
+            .distinct()
+            .limit(broadcast_key_cap + 1)
+            .collect()
+        ]
+        if len(key_rows) > broadcast_key_cap:  # source grew under us
+            key_rows = None
+    if key_rows is not None:
+        preds = [ColumnPredicate(keys[0], "in", values=tuple(key_rows))]
+    else:
+        preds = [
+            ColumnPredicate(k, "between", value=(stats[f"__mn_{k}"], stats[f"__mx_{k}"]))
+            for k in keys
+        ]
+
+    payload_src_cols = [c for c in source.columns if c not in keys]
+    src_named = source.select(
+        *keys, *[F.col(c).alias(f"__src_{c}") for c in payload_src_cols]
+    ).withColumn("__m", F.lit(True))
+    broadcastable = key_rows is not None
+
+    def combine(df: DataFrame) -> DataFrame:
+        right = F.broadcast(src_named) if broadcastable else src_named
+        out = df.join(right, on=keys, how="left")
+        hit = F.coalesce(F.col("__m"), F.lit(False))
+        if when_matched == "delete":
+            return out.filter(~hit).select(*df.columns)
+        for c in payload_src_cols:
+            if c in df.columns:
+                out = out.withColumn(
+                    c, F.when(hit, F.col(f"__src_{c}")).otherwise(F.col(c))
+                )
+        return out.select(*df.columns)
+
+    def _read_affected(affected):
+        return table.apply_schema_ops(
+            table.reader(spark).parquet(
+                *[os.path.join(table.root, f.path) for f in affected]
+            )
+        )
+
+    last_err: Exception | None = None
+    for attempt in range(max_replans + 1):
+        snap = table.snapshot()
+        affected = [f for f in snap.files if all(p.may_match(f) for p in preds)]
+        prefix = f"a{attempt}-" if attempt else ""
+
+        if affected and broadcastable:
+            results = _rewrite_files_in_waves(
+                table, spark, ledger,
+                sorted(affected, key=lambda f: f.path),
+                f"merge-{pass_id}", target_bytes=target_file_bytes,
+                transform=combine, sort_col="zkey", wave_files=wave_files,
+                task_prefix=prefix,
+            )
+            removed = [p for r in results for p in r["inputs"]]
+            added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
+        elif affected:
+            # big-source path: one shuffled rewrite job over the
+            # affected files, sized to ~target-file outputs
+            merged = combine(_read_affected(affected))
+            n_out = max(1, int(sum(f.bytes for f in affected) / target_file_bytes))
+            if "zkey" in merged.columns:
+                merged = merged.repartitionByRange(n_out, "zkey").sortWithinPartitions("zkey")
+            else:
+                merged = merged.repartition(n_out)
+            added = table.write_files(merged, spark, tag=f"merge-{pass_id}-{prefix}big")
+            removed = [f.path for f in affected]
+        else:
+            removed, added = [], []
+
+        if when_not_matched == "insert":
+            if affected:
+                inserts_src = source.join(
+                    _read_affected(affected).select(*keys), on=keys, how="left_anti"
+                )
+            else:
+                inserts_src = source
+            # project onto the table's logical schema: absent columns NULL
+            if snap.files:
+                tgt_schema = table.scan(spark).limit(0).schema
+            else:
+                tgt_schema = source.schema
+            sel = []
+            for fld in tgt_schema:
+                if fld.name in inserts_src.columns:
+                    sel.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+                else:
+                    sel.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+            # output sizing from the table's own bytes/row (source row
+            # width is unknown until written); bounded either way
+            if snap.files:
+                bpr = sum(f.bytes for f in snap.files) / max(1, sum(f.rows for f in snap.files))
+            else:
+                bpr = 256.0
+            n_ins = max(1, min(64, int(n_src * bpr / target_file_bytes) + 1))
+            ins_added = table.write_files(
+                inserts_src.select(*sel).repartition(n_ins),
+                spark,
+                tag=f"merge-{pass_id}-{prefix}ins",
+            )
+            for a in ins_added:  # an all-matched source → empty outputs
+                if a.rows == 0:
+                    try:
+                        os.remove(os.path.join(table.root, a.path))
+                    except OSError:
+                        pass
+            added = added + [a for a in ins_added if a.rows > 0]
+
+        try:
+            new_snap = table.commit_with_retry(
+                "merge",
+                added=added,
+                removed_paths=removed,
+                summary={
+                    "pass_id": pass_id,
+                    "on": keys,
+                    "when_matched": when_matched,
+                    "when_not_matched": when_not_matched,
+                    "n_source_rows": int(n_src),
+                    "affected_files": len(affected),
+                    "replans": attempt,
+                },
+            )
+        except StaleDeltaError as e:
+            last_err = e
+            _drop_attempt_outputs(table, added)
+            continue
+        ledger.record_commit(new_snap.snapshot_id)
+        return PassResult(
+            "merge", pass_id, new_snap.snapshot_id,
+            rewritten_files=len(affected), added_files=len(added),
+            rewritten_bytes=sum(f.bytes for f in affected),
+            seconds=time.time() - t0,
+            details={
+                "affected_files": len(affected),
+                "total_files": len(snap.files),
+                "broadcast_path": broadcastable,
+                "replans": attempt,
+            },
+        )
+    raise last_err  # type: ignore[misc]
+
+
 def reencrypt(
     table: Table,
     spark: SparkSession,
@@ -1112,11 +1346,17 @@ def expire_snapshots(
     snaps = meta["snapshots"]
     current_id = meta["current_snapshot_id"]
     retained, expired = [], []
+    tagged = {r["snapshot_id"] for r in meta.get("refs", {}).values()}
     for i, s in enumerate(snaps):
-        # Iceberg-like retention: always keep the current snapshot and
-        # the newest `keep_last`; with a time cutoff, additionally keep
-        # everything at/after the cutoff.
-        keep = s["snapshot_id"] == current_id or i >= len(snaps) - keep_last
+        # Iceberg-like retention: always keep the current snapshot, the
+        # newest `keep_last`, and any TAGGED snapshot (refs pin their
+        # targets); with a time cutoff, additionally keep everything
+        # at/after the cutoff.
+        keep = (
+            s["snapshot_id"] == current_id
+            or i >= len(snaps) - keep_last
+            or s["snapshot_id"] in tagged
+        )
         if older_than_ms is not None and s["timestamp_ms"] >= older_than_ms:
             keep = True
         (retained if keep else expired).append(s)

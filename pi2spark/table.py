@@ -464,6 +464,88 @@ class Table:
     def current_snapshot_id(self) -> int | None:
         return self._metadata()["current_snapshot_id"]
 
+    # -- refs: tags + rollback (B1 extension) --
+
+    def refs(self) -> dict:
+        """Named references: ``{name: {"snapshot_id": int, "type":
+        "tag"}}`` (Iceberg's refs map, tags only). Tagged snapshots
+        are retained by ``expire_snapshots`` regardless of age."""
+        return self._metadata().get("refs", {})
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Create or move a named tag pointing at a snapshot."""
+        for _ in range(5):
+            version = self.current_version()
+            meta = self._metadata(version)
+            sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
+            if not any(s["snapshot_id"] == sid for s in meta["snapshots"]):
+                raise Pi2SparkError(f"snapshot {sid} not found")
+            meta.setdefault("refs", {})[name] = {"snapshot_id": sid, "type": "tag"}
+            try:
+                self._write_version(version + 1, meta)
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(f"tag {name!r} lost 5 version races")
+
+    def drop_tag(self, name: str) -> None:
+        for _ in range(5):
+            version = self.current_version()
+            meta = self._metadata(version)
+            if name not in meta.get("refs", {}):
+                raise Pi2SparkError(f"tag {name!r} does not exist")
+            del meta["refs"][name]
+            try:
+                self._write_version(version + 1, meta)
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(f"drop_tag {name!r} lost 5 version races")
+
+    def ref_snapshot_id(self, name: str) -> int:
+        ref = self.refs().get(name)
+        if ref is None:
+            raise Pi2SparkError(f"tag {name!r} does not exist")
+        return ref["snapshot_id"]
+
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Roll the table back to an earlier snapshot by committing a
+        NEW snapshot that shares the target's manifests **by
+        reference** — O(1) metadata, zero data movement, history
+        preserved (the rolled-back-over snapshots still time-travel
+        until expiry, and expiry's refcounts already handle the shared
+        manifests/data files). Safe only because ``commit`` assigns
+        max-based snapshot ids: after a rollback the current snapshot
+        is no longer the max, and a parent+1 id would collide with an
+        existing entry."""
+        for _ in range(5):
+            version = self.current_version()
+            meta = self._metadata(version)
+            target = next(
+                (s for s in meta["snapshots"] if s["snapshot_id"] == snapshot_id), None
+            )
+            if target is None:
+                raise Pi2SparkError(f"snapshot {snapshot_id} not found (expired?)")
+            sid = max(s["snapshot_id"] for s in meta["snapshots"]) + 1
+            entry = {
+                "snapshot_id": sid,
+                "parent_id": meta["current_snapshot_id"],
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "rollback",
+                "summary": dict(target.get("summary", {}), rollback_to=snapshot_id),
+            }
+            for key in ("manifest_list", "manifest"):
+                if key in target:
+                    entry[key] = target[key]
+            meta["snapshots"].append(entry)
+            meta["current_snapshot_id"] = sid
+            try:
+                self._write_version(version + 1, meta)
+                return self.snapshot(sid)
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError("rollback lost 5 version races")
+
     def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
         """Time travel by wall clock: the latest snapshot committed at
         or before ``timestamp_ms`` (Iceberg's ``as-of-timestamp``).
@@ -596,7 +678,10 @@ class Table:
         meta = self._metadata(version)
         parent_id = meta["current_snapshot_id"]
         removed = set(removed_paths)
-        sid = (parent_id or 0) + 1
+        # max-based, not parent+1: after a rollback the current
+        # snapshot is no longer the max id, and parent+1 would collide
+        # with an existing (rolled-back-over) entry
+        sid = max((s["snapshot_id"] for s in meta["snapshots"]), default=0) + 1
         new_meta_files: list[str] = []
 
         if meta.get("format_version", 1) >= 2:
@@ -911,7 +996,8 @@ class Table:
 
     def schema_ops(self) -> list[dict]:
         """Ordered schema-evolution operations recorded in table
-        metadata (``add_column`` / ``rename_column``)."""
+        metadata (``add_column`` / ``rename_column`` /
+        ``drop_column``)."""
         return self._metadata().get("schema_ops", [])
 
     def apply_schema_ops(self, df: DataFrame) -> DataFrame:
@@ -940,6 +1026,9 @@ class Table:
             elif op["op"] == "add":
                 if op["name"] not in df.columns:
                     df = df.withColumn(op["name"], F.lit(None).cast(op["type"]))
+            elif op["op"] == "drop":
+                if op["name"] in df.columns:
+                    df = df.drop(op["name"])
         return df
 
     def _logical_columns(self) -> list[str]:
@@ -957,6 +1046,9 @@ class Table:
             elif op["op"] == "add":
                 if op["name"] not in names:
                     names.append(op["name"])
+            elif op["op"] == "drop":
+                if op["name"] in names:
+                    names.remove(op["name"])
         return names
 
     def add_column(self, name: str, dtype: str, pii: bool = False) -> None:
@@ -972,6 +1064,12 @@ class Table:
 
         if name in self._logical_columns():
             raise Pi2SparkError(f"column {name!r} already exists")
+        if any(
+            op["op"] == "drop" and op["name"] == name for op in self.schema_ops()
+        ):
+            # without per-field ids (Iceberg's fix) a re-add would
+            # resurrect the dropped column's values from old files
+            raise Pi2SparkError(f"column {name!r} was dropped and cannot be re-added")
         if isinstance(dtype, T.DataType):
             dt = dtype
         else:
@@ -1097,6 +1195,55 @@ class Table:
             )
             if old in cols and new not in cols:
                 props[key] = list(cols) + [new]
+        self._write_version(version + 1, meta)
+
+    def drop_column(self, name: str) -> None:
+        """Drop a column from the logical schema (metadata-only — no
+        file is rewritten; reads stop projecting it). The subject
+        column cannot be dropped while a protection document exists
+        (every crypto path binds to it). Dropping a PII column removes
+        it from the protection document and logically drops its
+        envelope column (``<name>_enc``) with it. A dropped name can
+        never be re-added (``add_column`` rejects it): without
+        per-field ids — Iceberg's solution — a re-add would resurrect
+        pre-drop values from old files."""
+        names = self._logical_columns()
+        version = self.current_version()
+        meta = self._metadata(version)
+        prot = meta.get("protection")
+        prot_names: set[str] = set()
+        doc = None
+        if prot and prot.get("dialect") == "spark":
+            import json as _json
+
+            from pyspark.sql.types import StructType as _ST
+
+            doc = _ST.fromJson(_json.loads(prot["document"]))
+            prot_names = {f.name for f in doc.fields}
+        if name not in names and name not in prot_names:
+            raise Pi2SparkError(f"column {name!r} does not exist")
+        if prot:
+            spec = self.protection_spec()
+            if name == spec.subject_column:
+                raise Pi2SparkError(
+                    f"cannot drop subject column {name!r} while protected"
+                )
+            if name in spec.pii_columns:
+                if doc is None:
+                    raise Pi2SparkError(
+                        "drop of a PII column requires a spark-dialect "
+                        "protection document (use set_protection to migrate)"
+                    )
+                meta["protection"] = {
+                    "dialect": "spark",
+                    "document": type(doc)(
+                        [f for f in doc.fields if f.name != name]
+                    ).json(),
+                }
+        ops = meta.setdefault("schema_ops", [])
+        ops.append({"op": "drop", "name": name})
+        if prot and name in prot_names and f"{name}_enc" in names:
+            ops.append({"op": "drop", "name": f"{name}_enc"})
         self._write_version(version + 1, meta)
 
     def write_files(

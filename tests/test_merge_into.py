@@ -1,0 +1,166 @@
+"""Generic MERGE INTO (keyed upsert/delete): correctness vs a pandas
+reference, file-pruning engagement, broadcast vs shuffled source
+paths, key-uniqueness enforcement, and schema-subset sources."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.errors import AmbiguousMergeSourceError
+from pi2spark.maintenance import merge_into
+from pi2spark.table import Table
+
+
+def _base_df(spark, n=1000):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            (F.col("id") % 10).cast("string").alias("grp"),
+            F.concat(F.lit("v0-"), F.col("id").cast("string")).alias("val"),
+        )
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_table_root):
+    t = Table.create(
+        tmp_table_root,
+        properties={"stats.columns": ["id"], "bloom.columns": ["id"]},
+    )
+    # contiguous id ranges per file so stats pruning has teeth
+    t.append(_base_df(spark).repartitionByRange(8, "id"), spark)
+    return t
+
+
+def _scan_pdf(t, spark):
+    return (
+        t.scan(spark)
+        .orderBy("id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def _expected_upsert(n=1000):
+    base = pd.DataFrame(
+        {
+            "id": range(n),
+            "grp": [str(i % 10) for i in range(n)],
+            "val": [f"v0-{i}" for i in range(n)],
+        }
+    )
+    upd = base.id % 7 == 0
+    base.loc[upd, "val"] = ["UPD-" + str(i) for i in base.id[upd]]
+    ins = pd.DataFrame(
+        {
+            "id": [n + i for i in range(50)],
+            "grp": [str(i % 10) for i in range(50)],
+            "val": [f"NEW-{n + i}" for i in range(50)],
+        }
+    )
+    out = pd.concat([base, ins], ignore_index=True).sort_values("id").reset_index(drop=True)
+    out["id"] = out["id"].astype("int64")
+    return out
+
+
+def _source(spark, n=1000):
+    upd = (
+        spark.range(0, n, 7)
+        .select(
+            F.col("id"),
+            (F.col("id") % 10).cast("string").alias("grp"),
+            F.concat(F.lit("UPD-"), F.col("id").cast("string")).alias("val"),
+        )
+    )
+    ins = (
+        spark.range(n, n + 50)
+        .select(
+            F.col("id"),
+            ((F.col("id") - n) % 10).cast("string").alias("grp"),
+            F.concat(F.lit("NEW-"), F.col("id").cast("string")).alias("val"),
+        )
+    )
+    return upd.unionByName(ins)
+
+
+def test_upsert_broadcast_path(spark, table):
+    res = merge_into(table, spark, _source(spark), on="id")
+    assert not res.skipped and res.details["broadcast_path"]
+    got = _scan_pdf(table, spark)
+    pd.testing.assert_frame_equal(got, _expected_upsert(), check_dtype=False)
+
+
+def test_upsert_shuffled_path_same_result(spark, table):
+    res = merge_into(table, spark, _source(spark), on="id", broadcast_key_cap=0)
+    assert not res.details["broadcast_path"]
+    got = _scan_pdf(table, spark)
+    pd.testing.assert_frame_equal(got, _expected_upsert(), check_dtype=False)
+
+
+def test_pruning_engages_on_narrow_source(spark, table):
+    narrow = (
+        spark.range(0, 50)
+        .select(
+            F.col("id"),
+            (F.col("id") % 10).cast("string").alias("grp"),
+            F.lit("narrow").alias("val"),
+        )
+    )
+    n_before = len(table.snapshot().files)
+    res = merge_into(table, spark, narrow, on="id", when_not_matched="skip")
+    assert 0 < res.details["affected_files"] < n_before
+    got = _scan_pdf(table, spark)
+    assert (got.loc[got.id < 50, "val"] == "narrow").all()
+    assert (got.loc[got.id >= 50, "val"].str.startswith("v0-")).all()
+    assert len(got) == 1000
+
+
+def test_delete_matched(spark, table):
+    victims = spark.range(0, 1000, 3).select("id")
+    merge_into(table, spark, victims, on="id", when_matched="delete", when_not_matched="skip")
+    got = _scan_pdf(table, spark)
+    assert len(got) == 1000 - len(range(0, 1000, 3))
+    assert (got.id % 3 != 0).all()
+
+
+def test_partial_payload_source_keeps_other_columns(spark, table):
+    # source carries only (id, val): grp must survive on matched rows,
+    # and inserted rows get NULL grp
+    src = spark.createDataFrame(
+        [(3, "patched"), (100000, "fresh")], "id long, val string"
+    )
+    merge_into(table, spark, src, on="id")
+    got = _scan_pdf(table, spark)
+    r3 = got[got.id == 3].iloc[0]
+    assert r3.val == "patched" and r3.grp == "3"
+    rf = got[got.id == 100000].iloc[0]
+    assert rf.val == "fresh" and pd.isna(rf.grp)
+
+
+def test_duplicate_source_keys_raise(spark, table):
+    src = spark.createDataFrame([(1, "a"), (1, "b")], "id long, val string")
+    with pytest.raises(AmbiguousMergeSourceError):
+        merge_into(table, spark, src, on="id")
+
+
+def test_insert_only_into_disjoint_range(spark, table):
+    src = spark.createDataFrame(
+        [(5000 + i, str(i % 10), f"NEW-{i}") for i in range(10)],
+        "id long, grp string, val string",
+    )
+    n_files = len(table.snapshot().files)
+    res = merge_into(table, spark, src, on="id")
+    # no target file overlaps [5000,5010): nothing rewritten
+    assert res.details["affected_files"] == 0
+    assert res.rewritten_files == 0
+    got = _scan_pdf(table, spark)
+    assert len(got) == 1010
+    assert len(table.snapshot().files) > n_files
+
+
+def test_resume_skips_committed_pass(spark, table):
+    src = _source(spark)
+    res1 = merge_into(table, spark, src, on="id", pass_id="merge-fixed")
+    res2 = merge_into(table, spark, src, on="id", pass_id="merge-fixed")
+    assert res2.skipped and res2.snapshot_id == res1.snapshot_id

@@ -1,0 +1,135 @@
+"""Snapshot rollback (O(1) manifest-by-reference restore), named tags,
+tag-aware expiry retention, and drop_column schema evolution."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.errors import Pi2SparkError
+from pi2spark.maintenance import expire_snapshots
+from pi2spark.table import Table
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("long").alias("id"),
+        F.concat(F.lit("row-"), F.col("id").cast("string")).alias("val"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_table_root):
+    t = Table.create(tmp_table_root, properties={"stats.columns": ["id"]})
+    t.append(_df(spark, 0, 100).repartition(2), spark)
+    return t
+
+
+def test_rollback_restores_content_and_preserves_history(spark, table):
+    s1 = table.current_snapshot_id()
+    table.append(_df(spark, 100, 200).repartition(2), spark)
+    s2 = table.current_snapshot_id()
+    rb = table.rollback(s1)
+    assert rb.snapshot_id > s2  # a NEW snapshot, history preserved
+    assert rb.summary["rollback_to"] == s1
+    got = table.scan(spark).orderBy("id").toPandas()
+    assert list(got.id) == list(range(100))
+    # the pre-rollback snapshot still time-travels
+    old = table.scan(spark, snapshot_id=s2).count()
+    assert old == 200
+
+
+def test_commit_after_rollback_gets_fresh_snapshot_id(spark, table):
+    s1 = table.current_snapshot_id()
+    table.append(_df(spark, 100, 150), spark)
+    table.rollback(s1)
+    snap = table.append(_df(spark, 200, 210), spark)
+    sids = [s["snapshot_id"] for s in table.snapshots()]
+    assert len(sids) == len(set(sids))  # no duplicate ids ever
+    assert snap.snapshot_id == max(sids)
+    assert table.scan(spark).count() == 110
+
+
+def test_tags_resolve_and_scan(spark, table):
+    s1 = table.current_snapshot_id()
+    table.tag("v1.0", s1)
+    table.append(_df(spark, 100, 200), spark)
+    assert table.ref_snapshot_id("v1.0") == s1
+    assert table.scan(spark, snapshot_id=table.ref_snapshot_id("v1.0")).count() == 100
+    table.drop_tag("v1.0")
+    with pytest.raises(Pi2SparkError):
+        table.ref_snapshot_id("v1.0")
+
+
+def test_expire_retains_tagged_snapshot(spark, table):
+    s1 = table.current_snapshot_id()
+    table.tag("keep-me", s1)
+    for i in range(3):
+        table.append(_df(spark, 100 + i * 10, 110 + i * 10), spark)
+    expire_snapshots(table, keep_last=1)
+    # the tagged snapshot survived expiry and still scans
+    assert table.scan(spark, snapshot_id=s1).count() == 100
+    sids = {s["snapshot_id"] for s in table.snapshots()}
+    assert s1 in sids
+
+
+def test_expire_deletes_untagged_old_snapshot(spark, table):
+    s1 = table.current_snapshot_id()
+    table.append(_df(spark, 100, 110), spark)
+    expire_snapshots(table, keep_last=1)
+    sids = {s["snapshot_id"] for s in table.snapshots()}
+    assert s1 not in sids
+
+
+def test_drop_column_metadata_only(spark, table):
+    files_before = {f.path for f in table.snapshot().files}
+    table.drop_column("val")
+    assert {f.path for f in table.snapshot().files} == files_before  # no rewrite
+    got = table.scan(spark).orderBy("id").toPandas()
+    assert list(got.columns) == ["id"]
+    assert len(got) == 100
+
+
+def test_drop_then_readd_is_rejected(spark, table):
+    table.drop_column("val")
+    with pytest.raises(Pi2SparkError):
+        table.add_column("val", "string")
+
+
+def test_drop_missing_column_raises(spark, table):
+    with pytest.raises(Pi2SparkError):
+        table.drop_column("nope")
+
+
+def test_drop_subject_column_rejected(spark, tmp_path):
+    from pi2spark.spec import annotate_schema
+    from pi2spark.synth import synthesize_source_files
+
+    plain = synthesize_source_files(spark, 50, seed=1, partitions=2, max_len=500)
+    t = Table.create(
+        str(tmp_path / "prot"),
+        protection=annotate_schema(plain.schema, "repo", ["content"]),
+    )
+    t.append(plain, spark)
+    with pytest.raises(Pi2SparkError):
+        t.drop_column("repo")
+
+
+def test_drop_pii_column_drops_envelope_and_protection_entry(spark, tmp_path):
+    from pi2spark.crypto import broadcast_keys, encrypt_table
+    from pi2spark.registry import KeyRegistry
+    from pi2spark.spec import annotate_schema
+    from pi2spark.synth import synthesize_source_files
+
+    plain = synthesize_source_files(spark, 50, seed=1, partitions=2, max_len=500)
+    t = Table.create(
+        str(tmp_path / "prot2"),
+        protection=annotate_schema(plain.schema, "repo", ["content"]),
+    )
+    reg = KeyRegistry(str(tmp_path / "kms.jsonl"))
+    reg.register_from_df(plain.select("repo").distinct())
+    t.append(encrypt_table(plain, t.protection_spec(), broadcast_keys(spark, reg.key_map())), spark)
+    t.drop_column("content")
+    cols = set(t.scan(spark).columns)
+    assert "content" not in cols and "content_enc" not in cols
+    spec = t.protection_spec()
+    assert "content" not in spec.pii_columns
