@@ -106,6 +106,83 @@ def append_stream(
     return writer.start()
 
 
+def upsert_stream(
+    sdf: DataFrame,
+    table: Table,
+    on,
+    checkpoint_dir: str,
+    query_name: str = "pi2spark-upsert",
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    order_col: str | None = None,
+    spec: ProtectionSpec | None = None,
+    keys=None,
+    trigger_available_now: bool = True,
+):
+    """Streaming MERGE INTO sink (CDC-style upsert): every micro-batch
+    merges into the table by key — matched target rows update (or
+    delete), unmatched source rows insert. The streaming form of the
+    reference's keyed-record write path
+    (``KafkaGdprAwareProducerInterceptor.java:31-37``), generalized
+    from subject-keyed messages to table keys.
+
+    Exactly-once across restarts without a batch-id log: the merge
+    pass id is deterministic in ``(query_name, batch_id)``, so a
+    replayed micro-batch finds its committed ``PassLedger`` entry and
+    skips — the same idempotency protocol maintenance passes use for
+    crash-safe resume.
+
+    ``order_col``: CDC streams routinely carry several versions of a
+    key per micro-batch; ``merge_into`` (correctly) refuses ambiguous
+    sources, so when ``order_col`` is given the batch is first
+    deduplicated keep-LAST per key via one map-side-combinable
+    ``max(struct(order, payload...))`` aggregate — no window function,
+    one narrow shuffle on the merge keys. Without it, in-batch
+    duplicate keys raise ``AmbiguousMergeSourceError`` and fail the
+    query (loud beats silently picking a winner).
+
+    With ``spec``/``keys`` the deduplicated batch is encrypted before
+    merging (encrypt-on-write upsert)."""
+    from pi2spark.maintenance import merge_into
+
+    keys_list = [on] if isinstance(on, str) else list(on)
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df
+        if order_col is not None:
+            payload = [c for c in batch.columns if c not in keys_list]
+            ordered = [order_col] + [c for c in payload if c != order_col]
+            batch = (
+                batch.groupBy(*keys_list)
+                .agg(F.max(F.struct(*[F.col(c) for c in ordered])).alias("__last"))
+                .select(
+                    *keys_list,
+                    *[F.col(f"__last.{c}").alias(c) for c in payload],
+                )
+            )
+        if spec is not None:
+            batch = encrypt_table(batch, spec, keys)
+        merge_into(
+            table,
+            spark,
+            batch,
+            on=on,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            pass_id=f"{query_name}-b{batch_id}",
+        )
+
+    writer = (
+        sdf.writeStream.queryName(query_name)
+        .foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def forget_stream(
     commands: DataFrame,
     table: Table,
