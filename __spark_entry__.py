@@ -445,6 +445,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return repetition_scores(_load(spark, sf_dir, "documents"))
 
+    def q_boilerplate_removal(spark, sf_dir):
+        """C4-style corpus-wide boilerplate-line removal
+        (pi2spark.textops.remove_boilerplate). The synthetic corpus
+        has no naturally repeated cross-doc lines, so the query
+        injects a deterministic site-chrome header/footer around
+        every document (mirrored in the oracle) and the op must strip
+        exactly those lines while preserving real-line order."""
+        from pi2spark.textops import remove_boilerplate
+
+        docs = _load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("NAV: home | about\n"),
+                F.col("text"),
+                F.lit("\nCOPYRIGHT example.org"),
+            ).alias("text"),
+        )
+        out = remove_boilerplate(docs, min_docs=50)
+        return out.select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.sha2("clean_text", 256).alias("clean_sha"),
+        ).orderBy("doc_id")
+
+    def q_vocab_topk(spark, sf_dir):
+        """Corpus vocabulary construction: top-200 tokens by count,
+        deterministic tiebreak (pi2spark.textops.vocab_topk)."""
+        from pi2spark.textops import vocab_topk
+
+        return vocab_topk(_load(spark, sf_dir, "documents"), k=200).select(
+            "token", F.col("cnt").cast("long").alias("cnt")
+        )
+
     def q_mixture_sample(spark, sf_dir):
         # deterministic training-mixture sampling (textops.mixture_
         # sample): per-source hash-bucket fractions, reproducible
@@ -963,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "mixture_sample": q_mixture_sample,
         "repetition_scores": q_repetition_scores,
+        "boilerplate_removal": q_boilerplate_removal,
+        "vocab_topk": q_vocab_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_verified": q_near_dup_verified,
         "dedup_components": q_dedup_components,
@@ -1118,6 +1154,46 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS dup_line_ratio,
                    list_max(list_transform(string_split(text, chr(10)), x -> length(x))) AS max_line_len
             FROM documents
+        """,
+        "boilerplate_removal": """
+            WITH wrapped AS (
+              SELECT doc_id,
+                     'NAV: home | about' || chr(10) || text || chr(10) || 'COPYRIGHT example.org' AS text
+              FROM documents),
+            lines AS (
+              SELECT doc_id, u['line'] AS line, u['pos'] AS pos
+              FROM (SELECT doc_id,
+                           unnest(list_transform(string_split(text, chr(10)),
+                                                 (x, i) -> {'line': x, 'pos': i})) AS u
+                    FROM wrapped)),
+            boiler AS (
+              SELECT line FROM (
+                SELECT line, count(*) AS n_docs
+                FROM (SELECT DISTINCT doc_id, line FROM lines)
+                GROUP BY line)
+              WHERE n_docs >= 50),
+            kept AS (
+              SELECT l.doc_id, l.line, l.pos FROM lines l
+              WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = l.line)),
+            re AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT w.doc_id,
+                   len(string_split(w.text, chr(10))) AS n_lines,
+                   coalesce(re.n_kept, 0) AS n_kept,
+                   sha256(coalesce(re.clean_text, '')) AS clean_sha
+            FROM wrapped w LEFT JOIN re ON re.doc_id = w.doc_id
+            ORDER BY w.doc_id
+        """,
+        "vocab_topk": r"""
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 200
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

@@ -226,6 +226,98 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-wide boilerplate detection (C4/RefinedWeb recipe): a
+    line is boilerplate when it appears in at least ``min_docs``
+    DISTINCT documents (headers, footers, nav chrome, license
+    banners). Returns ``(line, n_docs)``.
+
+    100 TB shape: ``array_distinct`` BEFORE the explode makes the
+    count per-document (so ``count(*)`` replaces ``count_distinct``
+    and map-side partial aggregation applies); the one shuffle
+    carries (line, partial-count) rows only."""
+    per_doc = df.select(
+        F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line")
+    )
+    return (
+        per_doc.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Strip corpus-wide boilerplate lines from every document,
+    preserving the order of surviving lines. Returns
+    ``(id, n_lines, n_kept, clean_text)``; a fully-boilerplate
+    document survives with ``clean_text = ''``.
+
+    Plan: posexplode → left-anti join against the (small —
+    AQE-broadcast) boilerplate set → per-doc reassembly via
+    ``array_sort(collect_list(struct(pos, line)))``. The reassembly
+    groupBy shuffles at most the input's own volume and the sort is
+    per-document (bounded by document size), so no driver work and no
+    wide state anywhere. All JVM expressions — no Python UDF."""
+    boiler = boilerplate_lines(df, text_col, id_col, min_docs).select("line")
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    kept = exploded.join(boiler, on="line", how="left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("n_lines")
+    )
+    return base.join(reassembled, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    pattern: str = r"[a-z]+|[0-9]+|[^a-z0-9\s]",
+) -> DataFrame:
+    """Corpus token vocabulary: top-``k`` tokens by total count with a
+    deterministic tiebreak (count desc, token asc) — the counting
+    stage of BPE/vocab construction. One shuffle (token groupBy with
+    map-side combine) + a TakeOrdered top-k; no Python anywhere."""
+    toks = df.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0)).alias(
+            "token"
+        )
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------

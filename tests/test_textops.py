@@ -215,3 +215,41 @@ def test_repetition_scores(spark):
     assert (out[1].n_lines, out[1].n_distinct_lines, out[1].dup_line_ratio) == (4, 2, 0.5)
     assert (out[2].n_lines, out[2].dup_line_ratio) == (1, 0.0)
     assert out[3].max_line_len == 50
+
+
+def test_boilerplate_removal(spark):
+    from pi2spark.textops import boilerplate_lines, remove_boilerplate
+
+    rows = [
+        (1, "HEADER\nalpha\nbeta\nFOOTER"),
+        (2, "HEADER\ngamma\nFOOTER"),
+        (3, "HEADER\nFOOTER"),                 # fully boilerplate
+        (4, "HEADER\nHEADER\ndelta\nFOOTER"),  # in-doc dup counts once
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    boiler = {r.line: r.n_docs for r in boilerplate_lines(df, min_docs=3).collect()}
+    assert boiler == {"HEADER": 4, "FOOTER": 4}
+
+    out = {r.doc_id: r for r in remove_boilerplate(df, min_docs=3).collect()}
+    assert out[1].clean_text == "alpha\nbeta"  # order preserved
+    assert (out[1].n_lines, out[1].n_kept) == (4, 2)
+    assert out[2].clean_text == "gamma"
+    assert (out[3].clean_text, out[3].n_kept) == ("", 0)  # doc survives empty
+    assert out[4].clean_text == "delta"
+    assert out[4].n_lines == 4
+
+    # below threshold nothing is removed
+    none = remove_boilerplate(df, min_docs=5)
+    assert none.filter("n_kept != n_lines").count() == 0
+
+
+def test_vocab_topk(spark):
+    from pi2spark.textops import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "the cat! and 42 cats")],
+        "doc_id long, text string",
+    )
+    got = [(r.token, r.cnt) for r in vocab_topk(df, k=4).collect()]
+    # count desc, token asc tiebreak
+    assert got == [("the", 3), ("and", 2), ("cat", 2), ("!", 1)]
