@@ -771,6 +771,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_table_changes(spark, sf_dir):
+        """Row-level CDC change feed (B1 extension, Delta-CDF shape):
+        append a base snapshot, run an upsert MERGE then a delete
+        MERGE, compact (which must contribute NOTHING to the feed),
+        and read changes() from the base snapshot — update pre/post
+        pairs, inserts and deletes with their commit snapshot ids,
+        computed purely from manifest file diffs. pi2spark/table.py
+        changes()."""
+        from pi2spark.maintenance import compact, merge_into
+        from pi2spark.table import Table
+
+        docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+        root = tempfile.mkdtemp(prefix="pi2spark-cdc-")
+        t = Table.create(
+            os.path.join(root, "tbl"),
+            properties={"stats.columns": ["doc_id"], "bloom.columns": ["doc_id"]},
+        )
+        t.append(docs.repartitionByRange(8, "doc_id"), spark)
+        s1 = t.current_snapshot_id()
+        upd = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.concat(F.lit("UPDATED:"), F.col("text"))
+        )
+        ins = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        merge_into(t, spark, upd.unionByName(ins), on="doc_id")
+        dels = docs.filter((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0)).select(
+            "doc_id"
+        )
+        merge_into(t, spark, dels, on="doc_id", when_matched="delete", when_not_matched="skip")
+        compact(t, spark)
+        return (
+            t.changes(spark, s1)
+            .select(
+                "_change_type",
+                F.col("_commit_snapshot_id").cast("long").alias("_commit_snapshot_id"),
+                "doc_id",
+                "source",
+                "lang",
+                F.sha2("text", 256).alias("text_sha"),
+            )
+            .orderBy("doc_id", "_change_type")
+        )
+
     def q_snapshot_rollback(spark, sf_dir):
         """Snapshot rollback + tags (B1 extension): tag the clean
         snapshot, append junk, roll back to the tag — the rollback is a
@@ -1015,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_rotation": q_key_rotation,
         "maintenance_pipeline": q_maintenance_pipeline,
         "merge_upsert": q_merge_upsert,
+        "table_changes": q_table_changes,
         "snapshot_rollback": q_snapshot_rollback,
         "schema_evolution": q_schema_evolution,
         "minhash_dedup": q_minhash_dedup,
@@ -1375,6 +1420,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang, sha256(text) AS text_sha
             FROM (SELECT * FROM base UNION ALL SELECT * FROM src)
             ORDER BY doc_id
+        """,
+        "table_changes": """
+            WITH docs AS (SELECT doc_id, source, lang, text FROM documents),
+                 chg AS (
+                   SELECT 'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_snapshot_id,
+                          doc_id, source, lang, text
+                   FROM docs WHERE doc_id % 7 = 0
+                   UNION ALL
+                   SELECT 'update_postimage', CAST(2 AS BIGINT),
+                          doc_id, source, lang, 'UPDATED:' || text
+                   FROM docs WHERE doc_id % 7 = 0
+                   UNION ALL
+                   SELECT 'insert', CAST(2 AS BIGINT),
+                          doc_id + 1000000, source, lang, text
+                   FROM docs WHERE doc_id % 11 = 0
+                   UNION ALL
+                   SELECT 'delete', CAST(3 AS BIGINT),
+                          doc_id, source, lang, text
+                   FROM docs WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+                 )
+            SELECT _change_type, _commit_snapshot_id, doc_id, source, lang,
+                   sha256(text) AS text_sha
+            FROM chg ORDER BY doc_id, _change_type
         """,
         "snapshot_rollback": """
             SELECT doc_id, source, lang, sha256(text) AS text_sha

@@ -881,6 +881,150 @@ class Table:
             self.reader(spark).parquet(*[os.path.join(self.root, p) for p in new_files])
         )
 
+    # ops whose rewrites preserve logical row identity: compaction and
+    # re-clustering move rows between files without changing them, and
+    # re-encryption rotates ciphertext for the SAME logical record (the
+    # envelope changes, the record does not — a CDC mirror keeps the
+    # old ciphertext until the subject is actually forgotten, at which
+    # point the shred pass emits real change rows for it).
+    CDC_ROW_PRESERVING_OPS = frozenset({"compact", "morton", "hilbert", "reencrypt"})
+
+    def changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        keys: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots (Delta CDF /
+        Iceberg changelog-scan shape), computed purely from manifest
+        file diffs — the table never writes change files at commit
+        time, so CDC costs nothing on the write path.
+
+        Output = the table's logical columns (minus the ``zkey`` layout
+        column) plus ``_change_type`` (``insert`` / ``delete`` /
+        ``update_preimage`` / ``update_postimage``),
+        ``_commit_snapshot_id`` and ``_commit_timestamp_ms`` — Delta
+        CDF's column contract.
+
+        Per snapshot in ``(from, to]``:
+
+        * ``append`` — added files' rows stream out as ``insert`` (a
+          pruned scan of ONLY the new files, same as
+          ``scan_incremental``).
+        * row-preserving maintenance (``CDC_ROW_PRESERVING_OPS``) —
+          skipped entirely: compaction/clustering move rows between
+          files and re-encryption rotates ciphertext in place, none of
+          which changes a logical record.
+        * ``merge`` — keyed diff using the merge's own ``on`` keys
+          (recorded in the commit summary): removed-file rows vs
+          added-file rows full-diff into ``delete`` / ``insert`` /
+          ``update_preimage``+``update_postimage`` pairs (payload
+          compared by a JSON row hash). Carried-over rows (same key,
+          same payload — the copy-on-write survivors sharing a
+          rewritten file) are netted out, exactly like Iceberg's
+          net-changes changelog.
+        * anything else (``shred``, ``rollback``, unknown ops) — an
+          UNKEYED multiset diff: ``delete`` rows = old − new
+          (``exceptAll``), ``insert`` rows = new − old. A shred's
+          tombstoned row therefore renders as a delete+insert pair
+          (the Debezium convention when no primary key is known);
+          pass ``keys=...`` to pair them into updates when the caller
+          knows a row-unique key.
+
+        100 TB shape: each snapshot's diff reads only that commit's
+        added/removed files (manifest set algebra on the driver, O(
+        snapshots × shard index)); the keyed diff is two pruned scans
+        joined on the merge keys — broadcast or shuffle as Catalyst
+        picks — and the unkeyed diff is ``exceptAll`` (a single
+        hash-aggregate shuffle on the JVM). Nothing is collected to
+        the driver.
+
+        Reference semantics: pi2schema keeps no history at all (Kafka
+        topics are the log); this is the lakehouse-side equivalent a
+        downstream consumer needs to mirror a maintained table
+        incrementally — GDPR-relevant because a FORGET's shred emits
+        change rows the mirror must apply to purge its own copy."""
+        from pyspark.sql import functions as F
+
+        meta = self._metadata()
+        snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
+        ids = [s["snapshot_id"] for s in snaps]
+        if from_snapshot_id not in ids:
+            raise Pi2SparkError(f"snapshot {from_snapshot_id} not found (expired?)")
+        to_id = to_snapshot_id if to_snapshot_id is not None else meta["current_snapshot_id"]
+
+        def _rows(paths: list[str]) -> DataFrame:
+            df = self.apply_schema_ops(
+                self.reader(spark).parquet(*[os.path.join(self.root, p) for p in paths])
+            )
+            return df.drop("zkey") if "zkey" in df.columns else df
+
+        def _tagged(df: DataFrame, ctype: str, s: dict) -> DataFrame:
+            return (
+                df.withColumn("_change_type", F.lit(ctype))
+                .withColumn("_commit_snapshot_id", F.lit(int(s["snapshot_id"])))
+                .withColumn("_commit_timestamp_ms", F.lit(int(s["timestamp_ms"])))
+            )
+
+        parts: list[DataFrame] = []
+        prev_paths = self.manifest_data_paths(
+            next(s for s in snaps if s["snapshot_id"] == from_snapshot_id)
+        )
+        for s in snaps:
+            if s["snapshot_id"] <= from_snapshot_id or s["snapshot_id"] > to_id:
+                continue
+            cur_paths = self.manifest_data_paths(s)
+            added = sorted(cur_paths - prev_paths)
+            removed = sorted(prev_paths - cur_paths)
+            prev_paths = cur_paths
+            op = s["operation"]
+            if op in self.CDC_ROW_PRESERVING_OPS or (not added and not removed):
+                continue
+            if op == "append":
+                parts.append(_tagged(_rows(added), "insert", s))
+                continue
+            old = _rows(removed) if removed else None
+            new = _rows(added) if added else None
+            snap_keys = list(s["summary"].get("on") or keys or [])
+            if old is None:
+                parts.append(_tagged(new, "insert", s))
+            elif new is None:
+                parts.append(_tagged(old, "delete", s))
+            elif snap_keys and all(k in old.columns for k in snap_keys):
+                payload = [c for c in old.columns if c not in snap_keys]
+                h = F.sha2(F.to_json(F.struct(*payload)), 256)
+                oh, nh = old.withColumn("__h", h), new.withColumn("__h", h)
+                changed = (
+                    oh.select(*snap_keys, "__h")
+                    .join(nh.select(*snap_keys, F.col("__h").alias("__h2")), snap_keys)
+                    .filter(F.col("__h") != F.col("__h2"))
+                    .select(*snap_keys)
+                )
+                parts += [
+                    _tagged(old.join(new.select(*snap_keys), snap_keys, "left_anti"), "delete", s),
+                    _tagged(new.join(old.select(*snap_keys), snap_keys, "left_anti"), "insert", s),
+                    _tagged(old.join(changed, snap_keys, "left_semi"), "update_preimage", s),
+                    _tagged(new.join(changed, snap_keys, "left_semi"), "update_postimage", s),
+                ]
+            else:
+                parts += [
+                    _tagged(old.exceptAll(new), "delete", s),
+                    _tagged(new.exceptAll(old), "insert", s),
+                ]
+        if not parts:
+            schema = self.data_schema()
+            if schema is None:
+                raise Pi2SparkError("cannot compute changes on an empty table without schema")
+            empty = self.apply_schema_ops(spark.createDataFrame([], schema))
+            if "zkey" in empty.columns:
+                empty = empty.drop("zkey")
+            return _tagged(empty, "insert", {"snapshot_id": 0, "timestamp_ms": 0}).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # -- write path --
 
     def new_data_dir(self, tag: str) -> tuple[str, str]:

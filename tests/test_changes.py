@@ -1,0 +1,147 @@
+"""Row-level CDC change feed (Table.changes): Delta-CDF-shaped output
+computed from manifest file diffs — append→insert, keyed merge→
+update pre/post pairs + insert/delete, shred→unkeyed delete+insert,
+rollback→delete, and row-preserving maintenance (compact / cluster /
+reencrypt) contributing NOTHING."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.maintenance import cluster, compact, merge_into, shred
+from pi2spark.table import Table
+
+CDC_COLS = {"_change_type", "_commit_snapshot_id", "_commit_timestamp_ms"}
+
+
+def _base_df(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") % 7).cast("string").alias("repo"),
+        F.concat(F.lit("v0-"), F.col("id").cast("string")).alias("val"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_table_root):
+    t = Table.create(
+        tmp_table_root,
+        properties={"stats.columns": ["id", "repo"], "bloom.columns": ["repo"]},
+    )
+    t.append(_base_df(spark).repartitionByRange(4, "id"), spark)
+    return t
+
+
+def _feed(t, spark, from_id, **kw):
+    df = t.changes(spark, from_id, **kw)
+    assert CDC_COLS <= set(df.columns)
+    return df
+
+
+def test_append_only_is_inserts(table, spark):
+    s1 = table.current_snapshot_id()
+    extra = _base_df(spark).withColumn("id", F.col("id") + 10_000).limit(25)
+    table.append(extra, spark)
+    ch = _feed(table, spark, s1).collect()
+    assert len(ch) == 25
+    assert {r["_change_type"] for r in ch} == {"insert"}
+    assert {r["id"] for r in ch} == {10_000 + i for i in range(25)}
+    assert {r["_commit_snapshot_id"] for r in ch} == {table.current_snapshot_id()}
+
+
+def test_merge_keyed_update_insert_pairs(table, spark):
+    s1 = table.current_snapshot_id()
+    src = spark.range(5).select(
+        (F.col("id") * 50).alias("id"),  # 0,50,...,200 all match
+        F.lit("X").alias("repo"),
+        F.lit("UPDATED").alias("val"),
+    ).unionByName(
+        spark.range(3).select(
+            (F.col("id") + 20_000).alias("id"),
+            F.lit("new").alias("repo"),
+            F.lit("NEW").alias("val"),
+        )
+    )
+    merge_into(table, spark, src, on="id")
+    ch = _feed(table, spark, s1)
+    by_type = {r["_change_type"]: r["cnt"] for r in
+               ch.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()}
+    assert by_type == {"update_preimage": 5, "update_postimage": 5, "insert": 3}
+    post = {r["id"]: r["val"] for r in ch.filter(F.col("_change_type") == "update_postimage").collect()}
+    assert post == {i * 50: "UPDATED" for i in range(5)}
+    pre = {r["id"]: r["val"] for r in ch.filter(F.col("_change_type") == "update_preimage").collect()}
+    assert pre == {i * 50: f"v0-{i * 50}" for i in range(5)}
+
+
+def test_merge_delete_emits_deletes(table, spark):
+    s1 = table.current_snapshot_id()
+    src = spark.range(4).select((F.col("id") * 100).alias("id"))
+    merge_into(table, spark, src, on="id", when_matched="delete", when_not_matched="skip")
+    ch = _feed(table, spark, s1).collect()
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    assert {r["id"] for r in ch} == {0, 100, 200, 300}
+
+
+def test_row_preserving_maintenance_is_silent(table, spark):
+    s1 = table.current_snapshot_id()
+    compact(table, spark, target_file_bytes=1 << 20)
+    cluster(table, spark, columns=("repo", "val"), bits=8)
+    assert table.current_snapshot_id() > s1  # passes really committed
+    assert _feed(table, spark, s1).count() == 0
+
+
+def test_shred_renders_as_delete_insert_pairs(spark, tmp_table_root):
+    t = Table.create(
+        tmp_table_root,
+        properties={"stats.columns": ["repo"], "bloom.columns": ["repo"]},
+    )
+    df = _base_df(spark).withColumn("content_enc", F.encode(F.col("val"), "utf-8"))
+    t.append(df.repartition(3), spark)
+    s1 = t.current_snapshot_id()
+    shred(t, spark, subjects=["3"], subject_column="repo")
+    ch = _feed(t, spark, s1)
+    n_subj = df.filter(F.col("repo") == "3").count()
+    by_type = {r["_change_type"]: r["cnt"] for r in
+               ch.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()}
+    # tombstone = envelope NULLed in place: one delete (old row) + one
+    # insert (tombstoned row) per affected row, carried-over rows netted
+    assert by_type == {"delete": n_subj, "insert": n_subj}
+    ins = ch.filter(F.col("_change_type") == "insert")
+    assert ins.filter(F.col("content_enc").isNotNull()).count() == 0
+    dels = ch.filter(F.col("_change_type") == "delete")
+    assert dels.filter(F.col("content_enc").isNull()).count() == 0
+
+
+def test_rollback_emits_deletes(table, spark):
+    s1 = table.current_snapshot_id()
+    junk = _base_df(spark).withColumn("id", F.col("id") + 50_000).limit(10)
+    table.append(junk, spark)
+    table.rollback(s1)
+    # from s1 over append+rollback: the 10 junk inserts then 10 deletes
+    ch = _feed(table, spark, s1)
+    by_type = {r["_change_type"]: r["cnt"] for r in
+               ch.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()}
+    assert by_type == {"insert": 10, "delete": 10}
+    # a consumer starting AFTER the junk append sees only the deletes
+    mid = sorted(s["snapshot_id"] for s in table.snapshots())[-2]
+    ch2 = _feed(table, spark, mid).collect()
+    assert {r["_change_type"] for r in ch2} == {"delete"}
+    assert {r["id"] for r in ch2} == {50_000 + i for i in range(10)}
+
+
+def test_empty_range_and_schema(table, spark):
+    cur = table.current_snapshot_id()
+    df = _feed(table, spark, cur)
+    assert df.count() == 0
+    assert set(df.columns) == {"id", "repo", "val"} | CDC_COLS
+
+
+def test_caller_keys_pair_unknown_op(table, spark):
+    """rollback diff with caller-supplied keys pairs changed rows."""
+    s1 = table.current_snapshot_id()
+    junk = _base_df(spark).withColumn("id", F.col("id") + 70_000).limit(5)
+    table.append(junk, spark)
+    table.rollback(s1)
+    ch = _feed(table, spark, s1, keys=["id"])
+    by_type = {r["_change_type"]: r["cnt"] for r in
+               ch.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()}
+    assert by_type == {"insert": 5, "delete": 5}
