@@ -815,6 +815,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id", "_change_type")
         )
 
+    def q_cdc_mirror(spark, sf_dir):
+        """CDC table-to-table replication (consumer side of the change
+        feed): bootstrap a mirror from the source's current snapshot,
+        mutate the source (upsert MERGE, delete MERGE, compact), poll
+        ONE replication increment through Table.changes() →
+        net_changes() → two idempotent merges — the mirror's final
+        content must equal the source's, computed here independently
+        by the oracle. pi2spark/cdc.py replicate_changes()."""
+        from pi2spark.cdc import ChangeFeedCursor, replicate_changes
+        from pi2spark.maintenance import compact, merge_into
+        from pi2spark.table import Table
+
+        docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+        root = tempfile.mkdtemp(prefix="pi2spark-mirror-")
+        props = {"stats.columns": ["doc_id"], "bloom.columns": ["doc_id"]}
+        src = Table.create(os.path.join(root, "src"), properties=props)
+        dst = Table.create(os.path.join(root, "dst"), properties=props)
+        src.append(docs.repartitionByRange(8, "doc_id"), spark)
+        cur = ChangeFeedCursor(os.path.join(root, "cursor"), name="mirror")
+        replicate_changes(src, dst, spark, cur, keys="doc_id")  # bootstrap
+
+        upd = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.concat(F.lit("UPDATED:"), F.col("text"))
+        )
+        ins = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        merge_into(src, spark, upd.unionByName(ins), on="doc_id")
+        dels = docs.filter((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0)).select(
+            "doc_id"
+        )
+        merge_into(src, spark, dels, on="doc_id", when_matched="delete", when_not_matched="skip")
+        compact(src, spark)
+        replicate_changes(src, dst, spark, cur, keys="doc_id")
+        return (
+            dst.scan(spark)
+            .select("doc_id", "source", "lang", F.sha2("text", 256).alias("text_sha"))
+            .orderBy("doc_id")
+        )
+
     def q_snapshot_rollback(spark, sf_dir):
         """Snapshot rollback + tags (B1 extension): tag the clean
         snapshot, append junk, roll back to the tag — the rollback is a
@@ -1060,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_pipeline": q_maintenance_pipeline,
         "merge_upsert": q_merge_upsert,
         "table_changes": q_table_changes,
+        "cdc_mirror": q_cdc_mirror,
         "snapshot_rollback": q_snapshot_rollback,
         "schema_evolution": q_schema_evolution,
         "minhash_dedup": q_minhash_dedup,
@@ -1443,6 +1484,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT _change_type, _commit_snapshot_id, doc_id, source, lang,
                    sha256(text) AS text_sha
             FROM chg ORDER BY doc_id, _change_type
+        """,
+        "cdc_mirror": """
+            WITH docs AS (SELECT doc_id, source, lang, text FROM documents),
+                 kept AS (
+                   SELECT doc_id, source, lang,
+                          CASE WHEN doc_id % 7 = 0 THEN 'UPDATED:' || text ELSE text END AS text
+                   FROM docs
+                   WHERE NOT (doc_id % 13 = 0 AND doc_id % 7 <> 0)
+                   UNION ALL
+                   SELECT doc_id + 1000000, source, lang, text
+                   FROM docs WHERE doc_id % 11 = 0
+                 )
+            SELECT doc_id, source, lang, sha256(text) AS text_sha
+            FROM kept ORDER BY doc_id
         """,
         "snapshot_rollback": """
             SELECT doc_id, source, lang, sha256(text) AS text_sha

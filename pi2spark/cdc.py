@@ -1,0 +1,181 @@
+"""CDC consumption: checkpointed change-feed cursor + table mirror.
+
+``Table.changes()`` (pi2spark/table.py) produces the change rows; this
+module is the consumer side — the piece a downstream system needs to
+keep an incremental MIRROR of a maintained table:
+
+* ``ChangeFeedCursor`` — a durable "consumed up to snapshot N" marker
+  (atomic rename + fsync, the ledger idiom from pi2spark/checkpoint.py)
+  so repeated polls resume where the last one acked, across crashes.
+* ``replicate_changes()`` — one replication increment: poll the source
+  feed, net the batch per key (keep-LAST across snapshots), apply to
+  the destination with two idempotent ``merge_into`` passes (upserts,
+  then deletes), ack. Exactly-once under replay because the merge pass
+  ids are deterministic in the consumed snapshot range — a crash
+  between apply and ack replays into committed ``PassLedger`` entries
+  and skips, exactly the protocol the streaming sinks use
+  (pi2spark/streaming.py upsert_stream).
+
+GDPR relevance (the reference's concern, pi2schema): a FORGET's shred
+pass emits change rows for the tombstoned subject, so a mirror kept by
+this module purges its own copy on the next poll — crypto-shredding
+propagates to downstream replicas through the feed instead of through
+out-of-band deletion requests (reference analogue: the Kafka log *is*
+the propagation channel; here the snapshot log is).
+
+100 TB shape: a poll reads only the snapshot range's diffed files
+(manifest set algebra + pruned scans); the per-key netting is one
+map-side-combinable ``max(struct(...))`` aggregate shuffled on the
+keys; the applies are stats/bloom-pruned merges. Driver holds the
+cursor integer and nothing else.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pi2spark.errors import Pi2SparkError
+from pi2spark.table import Table
+
+CDC_COLS = ("_change_type", "_commit_snapshot_id", "_commit_timestamp_ms")
+
+
+class ChangeFeedCursor:
+    """Durable consumption cursor for one named consumer of a table's
+    change feed. ``position`` is the last snapshot id whose changes the
+    consumer has fully applied (None before bootstrap)."""
+
+    def __init__(self, directory: str, name: str = "default"):
+        os.makedirs(directory, exist_ok=True)
+        self.path = os.path.join(directory, f"cdc-cursor-{name}.json")
+        self.name = name
+
+    @property
+    def position(self) -> int | None:
+        try:
+            with open(self.path) as fh:
+                return int(json.load(fh)["snapshot_id"])
+        except FileNotFoundError:
+            return None
+
+    def ack(self, snapshot_id: int) -> None:
+        cur = self.position
+        if cur is not None and snapshot_id < cur:
+            raise Pi2SparkError(
+                f"cursor {self.name} cannot move backwards ({cur} -> {snapshot_id})"
+            )
+        tmp = f"{self.path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot_id": int(snapshot_id), "acked_ms": int(time.time() * 1000)}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.path)
+
+
+def net_changes(changes: DataFrame, keys: list[str]) -> DataFrame:
+    """Collapse a multi-snapshot change batch to ONE net action per
+    key — what a mirror must apply. Keep-LAST by commit snapshot;
+    within a snapshot a delete+insert pair (the unkeyed shred
+    rendering) nets to the insert, i.e. an update — non-delete
+    outranks delete at equal snapshot id. ``update_preimage`` rows are
+    informational and dropped. One map-side-combinable
+    ``max(struct(...))`` aggregate, no window function."""
+    payload = [c for c in changes.columns if c not in CDC_COLS and c not in keys]
+    rank = F.when(F.col("_change_type") == "delete", F.lit(0)).otherwise(F.lit(1))
+    ordered = F.struct(
+        F.col("_commit_snapshot_id").alias("_sid"),
+        rank.alias("_rank"),
+        F.col("_change_type").alias("_ct"),
+        *[F.col(c).alias(c) for c in payload],
+    )
+    last = (
+        changes.filter(F.col("_change_type") != "update_preimage")
+        .groupBy(*keys)
+        .agg(F.max(ordered).alias("__last"))
+    )
+    return last.select(
+        *keys,
+        F.col("__last._ct").alias("_action"),
+        *[F.col(f"__last.{c}").alias(c) for c in payload],
+    )
+
+
+def bootstrap_mirror(
+    src: Table,
+    dst: Table,
+    spark: SparkSession,
+    cursor: ChangeFeedCursor,
+    keys,
+) -> int:
+    """Initial full sync: copy the source's CURRENT snapshot into the
+    destination via one idempotent merge (insert-only on an empty
+    mirror, repair-upsert on a half-built one), then set the cursor to
+    that snapshot id so the next poll is purely incremental."""
+    from pi2spark.maintenance import merge_into
+
+    sid = src.current_snapshot_id()
+    if sid is None:
+        raise Pi2SparkError("source table has no snapshot to bootstrap from")
+    df = src.scan(spark)
+    if "zkey" in df.columns:
+        df = df.drop("zkey")
+    merge_into(dst, spark, df, on=keys, pass_id=f"{cursor.name}-bootstrap-s{sid}")
+    cursor.ack(sid)
+    return sid
+
+
+def replicate_changes(
+    src: Table,
+    dst: Table,
+    spark: SparkSession,
+    cursor: ChangeFeedCursor,
+    keys,
+) -> dict:
+    """One replication increment (call repeatedly / on a schedule, the
+    ``maintain()`` pattern). Returns ``{"from": ..., "to": ...,
+    "upserts": n, "deletes": n}``; a no-op poll returns zeros without
+    running any job beyond an empty-diff check.
+
+    Crash-safe: the two merge pass ids are deterministic in
+    ``(consumer, from, to)``; a poll replayed after a crash between
+    apply and ack finds the committed ledgers, skips both applies, and
+    re-acks."""
+    from pi2spark.maintenance import merge_into
+
+    keys_list = [keys] if isinstance(keys, str) else list(keys)
+    frm = cursor.position
+    if frm is None:
+        sid = bootstrap_mirror(src, dst, spark, cursor, keys_list)
+        return {"from": None, "to": sid, "bootstrap": True}
+    to = src.current_snapshot_id()
+    if to == frm:
+        return {"from": frm, "to": to, "upserts": 0, "deletes": 0}
+
+    net = net_changes(src.changes(spark, frm, to, keys=keys_list), keys_list)
+    # one pass over the netted batch, split by action
+    net = net.localCheckpoint(eager=True)  # diff scans read once, applies reuse
+    try:
+        upserts = net.filter(F.col("_action") != "delete").drop("_action")
+        deletes = net.filter(F.col("_action") == "delete").select(*keys_list)
+        n_up = upserts.count()
+        n_del = deletes.count()
+        if n_up:
+            merge_into(
+                dst, spark, upserts, on=keys_list,
+                pass_id=f"{cursor.name}-up-{frm}-{to}",
+            )
+        if n_del:
+            merge_into(
+                dst, spark, deletes, on=keys_list,
+                when_matched="delete", when_not_matched="skip",
+                pass_id=f"{cursor.name}-del-{frm}-{to}",
+            )
+    finally:
+        net.unpersist()
+    cursor.ack(to)
+    return {"from": frm, "to": to, "upserts": n_up, "deletes": n_del}

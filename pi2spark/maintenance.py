@@ -856,8 +856,12 @@ def merge_into(
 
     last_err: Exception | None = None
     for attempt in range(max_replans + 1):
-        snap = table.snapshot()
-        affected = [f for f in snap.files if all(p.may_match(f) for p in preds)]
+        try:
+            snap = table.snapshot()
+        except Pi2SparkError:
+            snap = None  # merging into an empty table: pure insert
+        tgt_files = snap.files if snap is not None else []
+        affected = [f for f in tgt_files if all(p.may_match(f) for p in preds)]
         prefix = f"a{attempt}-" if attempt else ""
 
         if affected and broadcastable:
@@ -892,7 +896,7 @@ def merge_into(
             else:
                 inserts_src = source
             # project onto the table's logical schema: absent columns NULL
-            if snap.files:
+            if tgt_files:
                 tgt_schema = table.scan(spark).limit(0).schema
             else:
                 tgt_schema = source.schema
@@ -904,8 +908,8 @@ def merge_into(
                     sel.append(F.lit(None).cast(fld.dataType).alias(fld.name))
             # output sizing from the table's own bytes/row (source row
             # width is unknown until written); bounded either way
-            if snap.files:
-                bpr = sum(f.bytes for f in snap.files) / max(1, sum(f.rows for f in snap.files))
+            if tgt_files:
+                bpr = sum(f.bytes for f in tgt_files) / max(1, sum(f.rows for f in tgt_files))
             else:
                 bpr = 256.0
             n_ins = max(1, min(64, int(n_src * bpr / target_file_bytes) + 1))
@@ -949,7 +953,7 @@ def merge_into(
             seconds=time.time() - t0,
             details={
                 "affected_files": len(affected),
-                "total_files": len(snap.files),
+                "total_files": len(tgt_files),
                 "broadcast_path": broadcastable,
                 "replans": attempt,
             },

@@ -1,0 +1,130 @@
+"""CDC table mirror: bootstrap + incremental replication through the
+change feed, shred (GDPR forget) propagation to the replica, and
+crash-replay idempotency of the apply passes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.cdc import ChangeFeedCursor, net_changes, replicate_changes
+from pi2spark.maintenance import compact, merge_into, shred
+from pi2spark.table import Table
+
+
+def _base_df(spark, n=300):
+    return spark.range(n).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") % 5).cast("string").alias("repo"),
+        F.concat(F.lit("v0-"), F.col("id").cast("string")).alias("val"),
+    )
+
+
+def _rows(t, spark):
+    df = t.scan(spark)
+    if "zkey" in df.columns:
+        df = df.drop("zkey")
+    rows = [tuple(r) for r in df.select(sorted(df.columns)).collect()]
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    props = {"stats.columns": ["id"], "bloom.columns": ["id"]}
+    src = Table.create(str(tmp_path / "src"), properties=props)
+    dst = Table.create(str(tmp_path / "dst"), properties=props)
+    src.append(_base_df(spark).repartitionByRange(4, "id"), spark)
+    cur = ChangeFeedCursor(str(tmp_path / "cursor"), name="mirror")
+    return src, dst, cur
+
+
+def test_bootstrap_then_incremental(pair, spark):
+    src, dst, cur = pair
+    res = replicate_changes(src, dst, spark, cur, keys="id")
+    assert res.get("bootstrap") and cur.position == src.current_snapshot_id()
+    assert _rows(dst, spark) == _rows(src, spark)
+
+    # a mixed increment: append + upsert-merge + delete-merge + compact
+    src.append(_base_df(spark).withColumn("id", F.col("id") + 10_000).limit(20), spark)
+    upd = spark.range(6).select(
+        (F.col("id") * 40).alias("id"), F.lit("u").alias("repo"), F.lit("UPD").alias("val")
+    )
+    merge_into(src, spark, upd, on="id")
+    dels = spark.range(4).select((F.col("id") * 70 + 1).alias("id"))
+    merge_into(src, spark, dels, on="id", when_matched="delete", when_not_matched="skip")
+    compact(src, spark, target_file_bytes=1 << 20)
+
+    res = replicate_changes(src, dst, spark, cur, keys="id")
+    assert res["upserts"] > 0 and res["deletes"] > 0
+    assert _rows(dst, spark) == _rows(src, spark)
+
+    # quiescent poll is a no-op
+    res = replicate_changes(src, dst, spark, cur, keys="id")
+    assert res == {"from": cur.position, "to": cur.position, "upserts": 0, "deletes": 0}
+
+
+def test_shred_propagates_to_mirror(spark, tmp_path):
+    props = {"stats.columns": ["id", "repo"], "bloom.columns": ["repo"]}
+    src = Table.create(str(tmp_path / "src"), properties=props)
+    dst = Table.create(str(tmp_path / "dst"), properties=props)
+    df = _base_df(spark).withColumn("content_enc", F.encode(F.col("val"), "utf-8"))
+    src.append(df.repartition(3), spark)
+    cur = ChangeFeedCursor(str(tmp_path / "cursor"), name="mirror")
+    replicate_changes(src, dst, spark, cur, keys="id")
+
+    shred(src, spark, subjects=["2"], subject_column="repo")
+    res = replicate_changes(src, dst, spark, cur, keys="id")
+    # shred's delete+insert pairs net to upserts (tombstoned rows)
+    n_subj = df.filter(F.col("repo") == "2").count()
+    assert res["upserts"] == n_subj and res["deletes"] == 0
+    assert _rows(dst, spark) == _rows(src, spark)
+    mirrored = dst.scan(spark).filter(F.col("repo") == "2")
+    assert mirrored.filter(F.col("content_enc").isNotNull()).count() == 0
+
+
+def test_replay_after_crash_is_idempotent(pair, spark):
+    src, dst, cur = pair
+    replicate_changes(src, dst, spark, cur, keys="id")
+    frm = cur.position
+    upd = spark.range(5).select(
+        (F.col("id") * 31).alias("id"), F.lit("r").alias("repo"), F.lit("R1").alias("val")
+    )
+    merge_into(src, spark, upd, on="id")
+    res1 = replicate_changes(src, dst, spark, cur, keys="id")
+    before = _rows(dst, spark)
+    n_snaps = len(dst.snapshots())
+
+    # simulate a crash between apply and ack: rewind the cursor and replay
+    import json, os
+    with open(cur.path, "w") as fh:
+        json.dump({"snapshot_id": frm, "acked_ms": 0}, fh)
+    res2 = replicate_changes(src, dst, spark, cur, keys="id")
+    assert (res2["from"], res2["to"]) == (frm, res1["to"])
+    assert _rows(dst, spark) == before
+    assert len(dst.snapshots()) == n_snaps  # merges skipped via PassLedger
+    assert cur.position == res1["to"]
+
+
+def test_net_changes_keeps_last(spark, tmp_path):
+    src = Table.create(
+        str(tmp_path / "src"),
+        properties={"stats.columns": ["id"], "bloom.columns": ["id"]},
+    )
+    src.append(_base_df(spark, 50).repartition(2), spark)
+    s1 = src.current_snapshot_id()
+    # snapshot A: update id=7 ; snapshot B: delete id=7
+    merge_into(src, spark, spark.createDataFrame([(7, "x", "A")], "id long, repo string, val string"), on="id")
+    merge_into(
+        src, spark, spark.createDataFrame([(7,)], "id long"),
+        on="id", when_matched="delete", when_not_matched="skip",
+    )
+    net = net_changes(src.changes(spark, s1), ["id"]).collect()
+    assert len(net) == 1 and net[0]["_action"] == "delete" and net[0]["id"] == 7
+
+
+def test_cursor_cannot_move_backwards(tmp_path):
+    from pi2spark.errors import Pi2SparkError
+
+    cur = ChangeFeedCursor(str(tmp_path), name="c")
+    cur.ack(5)
+    with pytest.raises(Pi2SparkError):
+        cur.ack(3)
+    cur.ack(5)  # re-ack same position is fine (replay)
