@@ -41,6 +41,26 @@ STREAM_BATCH_KEY = "streaming_batch_id"
 STREAM_QUERY_KEY = "streaming_query"
 
 
+def _stream_incarnation(checkpoint_dir: str) -> str:
+    """Stable id of one stream INCARNATION: Spark's streaming query id,
+    persisted in ``<checkpoint>/metadata`` at query start and reused on
+    every restart from that checkpoint. Exactly-once guards must be
+    keyed by (incarnation, batch_id), not query name alone: a restart
+    with a FRESH checkpoint restarts batch ids at 0, and a guard keyed
+    only by name would classify every new batch as a replay of the old
+    run and silently drop it (same failure for two different streams
+    sharing a default query name). Falls back to the bare name-scoped
+    behavior only if the metadata file is unreadable."""
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+            return str(_json.load(fh)["id"])[:8]
+    except (OSError, KeyError, ValueError):
+        return "nometa"
+
+
 def encrypt_stream(sdf: DataFrame, spec: ProtectionSpec, keys) -> DataFrame:
     """Encrypt-swap on a streaming DataFrame (producer-interceptor
     analogue, A12). Stateless — works identically to the batch path."""
@@ -55,11 +75,19 @@ def decrypt_stream(sdf: DataFrame, spec: ProtectionSpec, keys, strict: bool = Fa
 
 def last_committed_batch(table: Table, query_name: str) -> int:
     """Highest micro-batch id already committed for a query (-1 if
-    none) — read from snapshot summaries, O(snapshot log)."""
+    none) — read from snapshot summaries, O(snapshot log).
+
+    ``query_name`` may be the bare name (matches every incarnation —
+    the human-facing "how far has ingest gotten" question) or an
+    incarnation-scoped ``name#<id>`` key (what the replay guard uses:
+    batch ids only compare within one checkpoint's incarnation)."""
     last = -1
     for s in table.snapshots():
         summ = s.get("summary", {})
-        if summ.get(STREAM_QUERY_KEY) == query_name and STREAM_BATCH_KEY in summ:
+        qk = summ.get(STREAM_QUERY_KEY)
+        if qk is None or STREAM_BATCH_KEY not in summ:
+            continue
+        if qk == query_name or ("#" not in query_name and qk.startswith(query_name + "#")):
             last = max(last, int(summ[STREAM_BATCH_KEY]))
     return last
 
@@ -82,7 +110,11 @@ def append_stream(
     lands in the table exactly once."""
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_committed_batch(table, query_name):
+        # scope the replay guard to this checkpoint's incarnation —
+        # a fresh checkpoint restarts batch ids at 0 and must not be
+        # mistaken for a replay of an earlier run (_stream_incarnation)
+        qkey = f"{query_name}#{_stream_incarnation(checkpoint_dir)}"
+        if batch_id <= last_committed_batch(table, qkey):
             return  # replayed micro-batch after restart — already committed
         spark = batch_df.sparkSession
         enc = encrypt_table(batch_df, spec, keys)
@@ -92,7 +124,7 @@ def append_stream(
         table.append(
             enc,
             spark,
-            summary={STREAM_QUERY_KEY: query_name, STREAM_BATCH_KEY: batch_id},
+            summary={STREAM_QUERY_KEY: qkey, STREAM_BATCH_KEY: batch_id},
             retry=True,
         )
 
@@ -127,7 +159,8 @@ def upsert_stream(
     from subject-keyed messages to table keys.
 
     Exactly-once across restarts without a batch-id log: the merge
-    pass id is deterministic in ``(query_name, batch_id)``, so a
+    pass id is deterministic in ``(query_name, checkpoint incarnation,
+    batch_id)``, so a
     replayed micro-batch finds its committed ``PassLedger`` entry and
     skips — the same idempotency protocol maintenance passes use for
     crash-safe resume.
@@ -170,7 +203,10 @@ def upsert_stream(
             on=on,
             when_matched=when_matched,
             when_not_matched=when_not_matched,
-            pass_id=f"{query_name}-b{batch_id}",
+            # incarnation-scoped: a fresh checkpoint (batch ids restart
+            # at 0) must not find an old run's committed ledger and
+            # skip real data (_stream_incarnation)
+            pass_id=f"{query_name}-{_stream_incarnation(checkpoint_dir)}-b{batch_id}",
         )
 
     writer = (
@@ -259,7 +295,8 @@ def forget_stream(
                 pending,
                 subject_column=subject_column,
                 envelope_columns=envelope_columns,
-                pass_id=f"{query_name}-batch{batch_id:08d}-c{chunk_no:04d}",
+                pass_id=f"{query_name}-{_stream_incarnation(checkpoint_dir)}"
+                f"-batch{batch_id:08d}-c{chunk_no:04d}",
                 target_file_bytes=target_file_bytes,
             )
             pending, chunk_no = [], chunk_no + 1
@@ -294,7 +331,8 @@ def forget_stream(
                     r.subject_id,
                     subject_column=subject_column,
                     envelope_columns=envelope_columns,
-                    pass_id=f"{query_name}-rot-b{batch_id:08d}-{r.subject_id}",
+                    pass_id=f"{query_name}-{_stream_incarnation(checkpoint_dir)}"
+                    f"-rot-b{batch_id:08d}-{r.subject_id}",
                     target_file_bytes=target_file_bytes,
                 )
         _flush_shred()

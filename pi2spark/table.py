@@ -865,9 +865,20 @@ class Table:
         prev_paths = self.manifest_data_paths(
             next(s for s in snaps if s["snapshot_id"] == from_snapshot_id)
         )
+        prev_id = from_snapshot_id
         for s in snaps:
             if s["snapshot_id"] <= from_snapshot_id or s["snapshot_id"] > to_id:
                 continue
+            # contiguity guard (see changes()): an expired intermediate
+            # snapshot would fold a rewrite's file churn into the next
+            # append's diff and double-deliver moved rows.
+            if s.get("parent_id") != prev_id:
+                raise Pi2SparkError(
+                    f"change history is not contiguous: snapshot {s['snapshot_id']} "
+                    f"has parent {s.get('parent_id')}, expected {prev_id} — an "
+                    "intermediate snapshot was expired; re-read from a full scan"
+                )
+            prev_id = s["snapshot_id"]
             cur_paths = self.manifest_data_paths(s)
             if s["operation"] == "append":
                 new_files.extend(sorted(cur_paths - prev_paths))
@@ -971,9 +982,25 @@ class Table:
         prev_paths = self.manifest_data_paths(
             next(s for s in snaps if s["snapshot_id"] == from_snapshot_id)
         )
+        prev_id = from_snapshot_id
         for s in snaps:
             if s["snapshot_id"] <= from_snapshot_id or s["snapshot_id"] > to_id:
                 continue
+            # history must be CONTIGUOUS over the consumed range: if an
+            # intermediate snapshot was expired, the gap's file diff
+            # would be attributed to the wrong operation (an expired
+            # merge under an 'append' label would silently drop its
+            # deletes from the feed). Refuse loudly — Delta CDF's
+            # "change data was removed" behavior — so the consumer
+            # re-bootstraps instead of diverging. Rollback entries keep
+            # the chain intact (their parent is the pre-rollback head).
+            if s.get("parent_id") != prev_id:
+                raise Pi2SparkError(
+                    f"change history is not contiguous: snapshot {s['snapshot_id']} "
+                    f"has parent {s.get('parent_id')}, expected {prev_id} — an "
+                    "intermediate snapshot was expired; re-bootstrap the consumer"
+                )
+            prev_id = s["snapshot_id"]
             cur_paths = self.manifest_data_paths(s)
             added = sorted(cur_paths - prev_paths)
             removed = sorted(prev_paths - cur_paths)

@@ -145,3 +145,29 @@ def test_caller_keys_pair_unknown_op(table, spark):
     by_type = {r["_change_type"]: r["cnt"] for r in
                ch.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()}
     assert by_type == {"insert": 5, "delete": 5}
+
+
+def test_expired_intermediate_snapshot_refuses_feed(table, spark):
+    """changes()/scan_incremental over a NON-contiguous range (an
+    intermediate snapshot was expired) must refuse loudly — Delta
+    CDF's "change data was removed" behavior — not silently fold the
+    gap's file churn into the wrong operation."""
+    from pi2spark.errors import Pi2SparkError
+    from pi2spark.maintenance import expire_snapshots
+
+    s1 = table.current_snapshot_id()
+    table.tag("consumer-start", s1)  # pin the cursor snapshot
+    table.append(_base_df(spark).withColumn("id", F.col("id") + 90_000).limit(7), spark)
+    table.append(_base_df(spark).withColumn("id", F.col("id") + 95_000).limit(7), spark)
+    expire_snapshots(table, keep_last=1)  # drops the middle append
+    kept = {s["snapshot_id"] for s in table.snapshots()}
+    assert s1 in kept and table.current_snapshot_id() in kept and len(kept) == 2
+
+    with pytest.raises(Pi2SparkError, match="not contiguous"):
+        table.changes(spark, s1).count()
+    with pytest.raises(Pi2SparkError, match="not contiguous"):
+        table.scan_incremental(spark, s1)
+
+    # a contiguous sub-range (nothing expired inside it) still works:
+    # from the current snapshot the feed is empty, no error
+    assert table.changes(spark, table.current_snapshot_id()).count() == 0

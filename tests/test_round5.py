@@ -207,7 +207,7 @@ def test_forget_stream_oversized_batch_chunks(spark, tmp_path):
     # chunked: more than one shred ledger for the batch
     ledgers = [
         n for n in os.listdir(os.path.join(str(tmp_path / "tbl"), "maintenance"))
-        if n.startswith("bulk-test-batch") and "-c" in n
+        if n.startswith("bulk-test-") and "-batch" in n and "-c" in n
     ]
     assert len(ledgers) >= 2
 

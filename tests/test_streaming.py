@@ -338,3 +338,44 @@ def test_rotate_stream_unknown_subject_is_not_poison(spark, tmp_path):
     # the real subject WAS rotated despite the ghost command
     assert reg.key_map_versioned()[victim][-1][0] != v1_mid
     assert reg.latest_key("ghost/never-registered") is None
+
+
+def test_fresh_checkpoint_restarts_batch_ids_without_data_loss(spark, tmp_path):
+    """A NEW checkpoint restarts micro-batch ids at 0. The replay guard
+    is scoped to the checkpoint's incarnation (streaming query id), so
+    the new run's batch 0 must NOT be mistaken for a replay of the old
+    run's batch 0 and dropped."""
+    reg = KeyRegistry()
+    t = Table.create(str(tmp_path / "tbl"))
+
+    def _ingest(tag, ckpt):
+        src = str(tmp_path / f"incoming-{tag}")
+        plain = synthesize_source_files(
+            spark, 80, seed=100 + tag, partitions=1, max_len=400
+        )
+        plain.write.parquet(src)
+        reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+        keys = broadcast_keys(spark, reg.key_map())
+        schema = spark.read.parquet(src).schema
+        sdf = spark.readStream.schema(schema).parquet(src)
+        q = append_stream(sdf, t, SPEC, keys, ckpt, query_name="same-name")
+        q.awaitTermination(120)
+
+    _ingest(1, str(tmp_path / "ckpt1"))
+    n1 = t.scan(spark).count()
+    assert n1 == 80
+    # second run: same query name, FRESH checkpoint, new source data
+    _ingest(2, str(tmp_path / "ckpt2"))
+    assert t.scan(spark).count() == n1 + 80  # old guard dropped batch 0
+
+    # bare-name lookup still answers across incarnations
+    assert last_committed_batch(t, "same-name") >= 0
+    # and the two incarnations were recorded under distinct keys
+    from pi2spark.streaming import STREAM_QUERY_KEY
+
+    qkeys = {
+        s["summary"][STREAM_QUERY_KEY]
+        for s in t.snapshots()
+        if STREAM_QUERY_KEY in s.get("summary", {})
+    }
+    assert len(qkeys) == 2 and all(k.startswith("same-name#") for k in qkeys)
