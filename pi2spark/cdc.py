@@ -83,20 +83,27 @@ def net_changes(changes: DataFrame, keys: list[str]) -> DataFrame:
     within a snapshot a delete+insert pair (the unkeyed shred
     rendering) nets to the insert, i.e. an update — non-delete
     outranks delete at equal snapshot id. ``update_preimage`` rows are
-    informational and dropped. One map-side-combinable
-    ``max(struct(...))`` aggregate, no window function."""
+    informational and dropped. One map-side-combinable ``max_by``
+    aggregate, no window function; the ordering struct carries ONLY
+    (snapshot id, rank) so payload columns of non-orderable types
+    (maps, binary blobs under collation rules) replicate fine — they
+    ride in the value struct, never the comparator. A keyed feed emits
+    at most one ranked change per (key, snapshot), so the comparator
+    is tie-free."""
     payload = [c for c in changes.columns if c not in CDC_COLS and c not in keys]
     rank = F.when(F.col("_change_type") == "delete", F.lit(0)).otherwise(F.lit(1))
-    ordered = F.struct(
-        F.col("_commit_snapshot_id").alias("_sid"),
-        rank.alias("_rank"),
+    value = F.struct(
         F.col("_change_type").alias("_ct"),
         *[F.col(c).alias(c) for c in payload],
+    )
+    order = F.struct(
+        F.col("_commit_snapshot_id").alias("_sid"),
+        rank.alias("_rank"),
     )
     last = (
         changes.filter(F.col("_change_type") != "update_preimage")
         .groupBy(*keys)
-        .agg(F.max(ordered).alias("__last"))
+        .agg(F.max_by(value, order).alias("__last"))
     )
     return last.select(
         *keys,
@@ -115,16 +122,36 @@ def bootstrap_mirror(
     """Initial full sync: copy the source's CURRENT snapshot into the
     destination via one idempotent merge (insert-only on an empty
     mirror, repair-upsert on a half-built one), then set the cursor to
-    that snapshot id so the next poll is purely incremental."""
+    that snapshot id so the next poll is purely incremental.
+
+    The repair also DELETES mirror rows whose key no longer exists in
+    the source: a crash between a previous bootstrap's merge and its
+    ack replays here against a possibly NEWER source snapshot, and the
+    cursor then acks past the gap's change rows — without the delete
+    sweep, a source row deleted inside that gap would survive in the
+    mirror forever (an upsert-only merge never removes anything)."""
     from pi2spark.maintenance import merge_into
 
+    keys_list = [keys] if isinstance(keys, str) else list(keys)
     sid = src.current_snapshot_id()
     if sid is None:
         raise Pi2SparkError("source table has no snapshot to bootstrap from")
     df = src.scan(spark)
     if "zkey" in df.columns:
         df = df.drop("zkey")
-    merge_into(dst, spark, df, on=keys, pass_id=f"{cursor.name}-bootstrap-s{sid}")
+    merge_into(dst, spark, df, on=keys_list, pass_id=f"{cursor.name}-bootstrap-s{sid}")
+    # repair sweep: keys in the mirror but not in the source (keys-only
+    # column-pruned anti-join; empty on a fresh bootstrap)
+    stale = (
+        dst.scan(spark).select(*keys_list)
+        .join(df.select(*keys_list), on=keys_list, how="left_anti")
+    )
+    if not stale.isEmpty():
+        merge_into(
+            dst, spark, stale, on=keys_list,
+            when_matched="delete", when_not_matched="skip",
+            pass_id=f"{cursor.name}-bootstrap-del-s{sid}",
+        )
     cursor.ack(sid)
     return sid
 

@@ -44,6 +44,14 @@ class PassLedger:
                         self._committed = rec
                     elif rec.get("type") == "meta":
                         self._meta[rec["key"]] = rec["value"]
+                    elif rec.get("type") == "invalidate":
+                        # drops only tasks recorded BEFORE this line —
+                        # append order is the undo order
+                        pfx = rec.get("prefix", "")
+                        self._tasks = {
+                            t: r for t, r in self._tasks.items()
+                            if not t.startswith(pfx)
+                        }
 
     # -- queries --
 
@@ -100,6 +108,23 @@ class PassLedger:
             "ts_ms": int(time.time() * 1000),
         }
         self._meta[key] = value
+        self._append(rec)
+
+    def invalidate_tasks(self, prefix: str = "") -> None:
+        """Retract every task recorded so far whose id starts with
+        ``prefix`` (durably — the retraction is itself a fsync'd
+        record). Used when a re-planned attempt's output files are
+        deleted: the lineage pointing at them must die with them, or a
+        crash-replay of the pass would resume from task results whose
+        outputs no longer exist and commit manifest entries for
+        missing files."""
+        rec = {
+            "type": "invalidate",
+            "pass_id": self.pass_id,
+            "prefix": prefix,
+            "ts_ms": int(time.time() * 1000),
+        }
+        self._tasks = {t: r for t, r in self._tasks.items() if not t.startswith(prefix)}
         self._append(rec)
 
     def record_commit(self, snapshot_id: int, summary: dict | None = None) -> None:

@@ -204,14 +204,25 @@ def _rewrite_files_in_waves(
 # ---------------------------------------------------------------------------
 
 
-def _drop_attempt_outputs(table: Table, added: list[DataFile]) -> None:
+def _drop_attempt_outputs(
+    table: Table,
+    added: list[DataFile],
+    ledger: PassLedger | None = None,
+    task_prefix: str = "",
+) -> None:
     """Best-effort removal of a re-planned attempt's orphaned outputs
-    (never committed — ``remove_orphans`` reclaims any survivor)."""
+    (never committed — ``remove_orphans`` reclaims any survivor).
+    When a ledger is given, the attempt's task lineage is durably
+    RETRACTED too: wave results pointing at the deleted files must not
+    survive, or a crash-replay of the same pass_id would resume from
+    them and commit manifest entries for files that no longer exist."""
     for a in added:
         try:
             os.remove(os.path.join(table.root, a.path))
         except OSError:
             pass
+    if ledger is not None:
+        ledger.invalidate_tasks(task_prefix)
 
 
 def compact(
@@ -276,7 +287,7 @@ def compact(
             )
         except StaleDeltaError as e:
             last_err = e
-            _drop_attempt_outputs(table, added)
+            _drop_attempt_outputs(table, added, ledger, f"a{attempt}-" if attempt else "")
             continue
         ledger.record_commit(new_snap.snapshot_id, {"waves": len(results)})
         return PassResult(
@@ -708,7 +719,7 @@ def shred(
             )
         except StaleDeltaError as e:
             last_err = e
-            _drop_attempt_outputs(table, added)
+            _drop_attempt_outputs(table, added, ledger, f"a{attempt}-" if attempt else "")
             continue
         ledger.record_commit(new_snap.snapshot_id)
         return PassResult(
@@ -943,7 +954,7 @@ def merge_into(
             )
         except StaleDeltaError as e:
             last_err = e
-            _drop_attempt_outputs(table, added)
+            _drop_attempt_outputs(table, added, ledger, f"a{attempt}-" if attempt else "")
             continue
         ledger.record_commit(new_snap.snapshot_id)
         return PassResult(
@@ -1051,7 +1062,7 @@ def reencrypt(
             )
         except StaleDeltaError as e:
             last_err = e
-            _drop_attempt_outputs(table, added)
+            _drop_attempt_outputs(table, added, ledger, f"a{attempt}-" if attempt else "")
             continue
         ledger.record_commit(new_snap.snapshot_id)
         return PassResult(
@@ -1388,7 +1399,8 @@ def expire_snapshots(
         # shards referenced by a retained snapshot cannot contribute a
         # deletable path (every path in them is retained): pruning them
         # from the expired read halves the scan in the common case
-        exp_only = [m for m in exp_manifests if m not in set(ret_manifests)]
+        ret_set = set(ret_manifests)
+        exp_only = [m for m in exp_manifests if m not in ret_set]
         deletable_df = (
             _manifest_paths_df(spark, table._meta_dir, exp_only)
             .distinct()

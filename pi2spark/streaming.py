@@ -50,10 +50,14 @@ def _stream_incarnation(checkpoint_dir: str) -> str:
     only by name would classify every new batch as a replay of the old
     run and silently drop it (same failure for two different streams
     sharing a default query name). Falls back to the bare name-scoped
-    behavior only if the metadata file is unreadable."""
+    behavior only if the metadata file is unreadable (or the sink runs
+    with no checkpoint at all — e.g. forget_stream's default, where
+    Spark uses a throwaway temp checkpoint)."""
     import json as _json
     import os as _os
 
+    if not checkpoint_dir:
+        return "nometa"
     try:
         with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
             return str(_json.load(fh)["id"])[:8]
@@ -92,6 +96,34 @@ def last_committed_batch(table: Table, query_name: str) -> int:
     return last
 
 
+def _is_replayed_batch(table: Table, query_name: str, qkey: str, batch_id: int) -> bool:
+    """True when ``batch_id`` was already committed for this stream —
+    the exactly-once skip decision. Scoped commits (``qkey`` =
+    ``name#incarnation``) are authoritative; bare legacy summaries
+    (pre-incarnation code) are consulted ONLY when this incarnation has
+    no scoped commits yet and batch_id > 0, i.e. a CONTINUED checkpoint
+    possibly replaying a batch the old code committed. A fresh
+    checkpoint starts at batch 0 (or has a scoped commit by batch 1),
+    so legacy entries cannot false-drop its data."""
+    last = last_committed_batch(table, qkey)
+    if last < 0 and batch_id > 0:
+        last = _last_committed_legacy(table, query_name)
+    return batch_id <= last
+
+
+def _last_committed_legacy(table: Table, query_name: str) -> int:
+    """Highest batch id recorded under the BARE query name only —
+    summaries written before incarnation scoping. Excludes scoped
+    ``name#<id>`` entries: another incarnation's batch ids live on a
+    different number line and must not feed a replay comparison."""
+    last = -1
+    for s in table.snapshots():
+        summ = s.get("summary", {})
+        if summ.get(STREAM_QUERY_KEY) == query_name and STREAM_BATCH_KEY in summ:
+            last = max(last, int(summ[STREAM_BATCH_KEY]))
+    return last
+
+
 def append_stream(
     sdf: DataFrame,
     table: Table,
@@ -114,7 +146,7 @@ def append_stream(
         # a fresh checkpoint restarts batch ids at 0 and must not be
         # mistaken for a replay of an earlier run (_stream_incarnation)
         qkey = f"{query_name}#{_stream_incarnation(checkpoint_dir)}"
-        if batch_id <= last_committed_batch(table, qkey):
+        if _is_replayed_batch(table, query_name, qkey, batch_id):
             return  # replayed micro-batch after restart — already committed
         spark = batch_df.sparkSession
         enc = encrypt_table(batch_df, spec, keys)
@@ -284,6 +316,13 @@ def forget_stream(
         )
         pending: list[str] = []  # FORGET victims awaiting a shred chunk
         chunk_no = 0
+        # forgotten-wins within a batch: once a FORGET for a subject is
+        # in this micro-batch, a same-batch REGISTER must not resurrect
+        # it (the sort puts FORGET first, so REGISTER would otherwise
+        # find no materials and mint a FRESH key for a subject the
+        # batch just crypto-shredded). Bounded by FORGETs per batch —
+        # the same human-action-rate bound the shred chunking assumes.
+        forgotten: set[str] = set()
 
         def _flush_shred() -> None:
             nonlocal pending, chunk_no
@@ -303,11 +342,14 @@ def forget_stream(
 
         for r in cmds:
             if r.command == REGISTER:
+                if r.subject_id in forgotten:
+                    continue  # forgotten-wins: no same-batch resurrect
                 registry.register(r.subject_id)
             elif r.command == FORGET:
                 # key destroyed the instant the command is seen (the
                 # crypto-shred guarantee); the byte rewrite batches up
                 registry.forget(r.subject_id)
+                forgotten.add(r.subject_id)
                 pending.append(r.subject_id)
                 if len(pending) >= max_subjects_per_pass:
                     _flush_shred()

@@ -237,16 +237,20 @@ def boilerplate_lines(
     DISTINCT documents (headers, footers, nav chrome, license
     banners). Returns ``(line, n_docs)``.
 
-    100 TB shape: ``array_distinct`` BEFORE the explode makes the
-    count per-document (so ``count(*)`` replaces ``count_distinct``
-    and map-side partial aggregation applies); the one shuffle
-    carries (line, partial-count) rows only."""
+    100 TB shape: ``array_distinct`` BEFORE the explode bounds the
+    expansion to one (doc, line) pair per distinct line of a document;
+    the ``count_distinct(id)`` then runs as Spark's two-phase distinct
+    aggregate (partial per-partition dedup before the shuffle), so the
+    shuffle carries (line, id) pairs already deduped map-side. The
+    distinct count — not ``count(*)`` — is what makes the contract
+    hold when a document spans multiple rows of ``df``."""
     per_doc = df.select(
-        F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line")
+        F.col(id_col).alias("__doc"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line"),
     )
     return (
         per_doc.groupBy("line")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(F.count_distinct(F.col("__doc")).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
 

@@ -1,0 +1,248 @@
+"""Regression tests for the round-5 code-review findings:
+
+1. ``forget_stream`` with its default ``checkpoint_dir=None`` must not
+   crash on the first FORGET/ROTATE (``_stream_incarnation(None)``).
+2. Forgotten-wins within a micro-batch: a same-batch REGISTER must not
+   resurrect a subject the batch FORGOT (command-sorted iteration put
+   FORGET first, so REGISTER would mint a fresh key).
+3. Replay guard legacy compat: bare pre-incarnation summaries are
+   honored by a continued checkpoint but cannot false-drop a fresh
+   one; other incarnations' scoped entries never feed the comparison.
+4. ``bootstrap_mirror`` re-run over a crash gap deletes mirror rows
+   whose source row vanished inside the gap.
+5. ``net_changes`` handles non-orderable payload column types (maps):
+   the ordering struct carries only (snapshot id, rank).
+6. ``PassLedger.invalidate_tasks``: a re-planned attempt's retracted
+   lineage stays retracted across reloads, so a crash-replay cannot
+   resume from wave results whose output files were deleted.
+7. ``boilerplate_lines`` counts DISTINCT documents, not rows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.checkpoint import PassLedger
+from pi2spark.crypto import broadcast_keys, encrypt_table
+from pi2spark.registry import KeyRegistry
+from pi2spark.spec import ProtectionSpec
+from pi2spark.streaming import (
+    STREAM_BATCH_KEY,
+    STREAM_QUERY_KEY,
+    _is_replayed_batch,
+    _stream_incarnation,
+    forget_stream,
+)
+from pi2spark.synth import synthesize_source_files
+from pi2spark.table import Table
+
+SPEC = ProtectionSpec.for_source_files()
+
+
+def _cmd_stream(spark, tmp_path, rows):
+    src = str(tmp_path / "cmds")
+    spark.createDataFrame(rows, "subject_id string, command string").coalesce(
+        1
+    ).write.parquet(src)
+    return spark.readStream.schema("subject_id string, command string").parquet(src)
+
+
+def _encrypted_table(spark, tmp_path, n=120, seed=11):
+    plain = synthesize_source_files(spark, n, seed=seed, partitions=2, max_len=400)
+    reg = KeyRegistry()
+    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(str(tmp_path / "tbl"))
+    t.append(encrypt_table(plain, SPEC, keys), spark)
+    subjects = sorted(r.repo for r in plain.select("repo").distinct().collect())
+    return t, reg, subjects
+
+
+def test_forget_stream_without_checkpoint_dir(spark, tmp_path):
+    """Finding 1: the declared default (checkpoint_dir=None) must work —
+    Spark uses a throwaway temp checkpoint, incarnation falls back."""
+    assert _stream_incarnation(None) == "nometa"
+    t, reg, subjects = _encrypted_table(spark, tmp_path)
+    victim = subjects[0]
+    cmds = _cmd_stream(spark, tmp_path, [(victim, "FORGET")])
+    q = forget_stream(cmds, t, reg, query_name="nockpt")  # no checkpoint_dir
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert reg.latest_key(victim) is None
+
+
+def test_same_batch_register_does_not_resurrect_forgotten(spark, tmp_path):
+    """Finding 2: FORGET(s) and REGISTER(s) in ONE micro-batch →
+    s stays forgotten (no fresh key minted after the forget)."""
+    t, reg, subjects = _encrypted_table(spark, tmp_path, seed=12)
+    victim, bystander = subjects[0], subjects[1]
+    cmds = _cmd_stream(
+        spark,
+        tmp_path,
+        [
+            (victim, "FORGET"),
+            (victim, "REGISTER"),  # sorts after FORGET; must be ignored
+            (victim, "ROTATE"),  # must also stay a no-op
+            (bystander, "REGISTER"),  # unaffected subject still honored
+        ],
+    )
+    q = forget_stream(
+        cmds, t, reg, checkpoint_dir=str(tmp_path / "ck"), query_name="fw"
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert reg.latest_key(victim) is None
+    assert reg.latest_material_id(victim) is None
+    assert reg.latest_key(bystander) is not None
+
+
+def test_replay_guard_legacy_and_scoped(spark, tmp_path):
+    """Finding 3: decision table for _is_replayed_batch."""
+    t = Table.create(str(tmp_path / "tbl"))
+    df = synthesize_source_files(spark, 5, seed=1, partitions=1, max_len=100)
+
+    def _mark(qk, b):
+        t.append(df, spark, summary={STREAM_QUERY_KEY: qk, STREAM_BATCH_KEY: b})
+
+    # legacy (bare) summaries from the pre-incarnation code: batches 0..2
+    for b in range(3):
+        _mark("q", b)
+
+    # continued checkpoint replaying batch 2 -> skip (legacy honored)
+    assert _is_replayed_batch(t, "q", "q#abc", 2) is True
+    # continued checkpoint's NEW batch 3 -> commit
+    assert _is_replayed_batch(t, "q", "q#abc", 3) is False
+    # fresh checkpoint's batch 0 -> commit (legacy cannot false-drop)
+    assert _is_replayed_batch(t, "q", "q#new", 0) is False
+
+    # scoped commits: batch 0 under this incarnation
+    _mark("q#new", 0)
+    # replay of scoped batch 0 -> skip; new batch 1 -> commit even
+    # though legacy entries reach batch 2 (scoped is authoritative)
+    assert _is_replayed_batch(t, "q", "q#new", 0) is True
+    assert _is_replayed_batch(t, "q", "q#new", 1) is False
+    # another incarnation's scoped entries never feed the comparison
+    assert _is_replayed_batch(t, "q", "q#other", 0) is False
+
+
+def test_bootstrap_replay_over_gap_deletes_vanished_rows(spark, tmp_path):
+    """Finding 4: bootstrap → (no ack: crash) → source deletes a row →
+    re-bootstrap. The mirror must not keep the deleted row forever."""
+    from pi2spark.cdc import ChangeFeedCursor, bootstrap_mirror
+    from pi2spark.maintenance import merge_into
+
+    src = Table.create(str(tmp_path / "src"))
+    src.append(
+        spark.range(50).select(
+            F.col("id"), F.concat(F.lit("v-"), F.col("id")).alias("val")
+        ),
+        spark,
+    )
+    dst = Table.create(str(tmp_path / "dst"))
+    c1 = ChangeFeedCursor(str(tmp_path / "cur"), "m")
+    bootstrap_mirror(src, dst, spark, c1, ["id"])
+    assert dst.scan(spark).count() == 50
+
+    # crash before ack: fresh cursor state; source then deletes id=7
+    merge_into(
+        src,
+        spark,
+        spark.range(1).select((F.col("id") + 7).alias("id")),
+        on="id",
+        when_matched="delete",
+        when_not_matched="skip",
+    )
+    c2 = ChangeFeedCursor(str(tmp_path / "cur2"), "m")
+    assert c2.position is None
+    bootstrap_mirror(src, dst, spark, c2, ["id"])
+    got = {r.id for r in dst.scan(spark).select("id").collect()}
+    assert 7 not in got and len(got) == 49
+
+
+def test_net_changes_with_map_payload(spark):
+    """Finding 5: a MapType payload column (not orderable in Spark)
+    must replicate — it rides in the value struct, not the comparator."""
+    from pi2spark.cdc import net_changes
+
+    rows = spark.createDataFrame(
+        [
+            (1, "insert", 10, {"a": "1"}),
+            (1, "delete", 11, None),  # later snapshot wins -> delete
+            (2, "insert", 10, {"b": "2"}),
+            (2, "update_postimage", 12, {"b": "3"}),
+        ],
+        "id int, _change_type string, _commit_snapshot_id long, attrs map<string,string>",
+    ).withColumn("_commit_timestamp_ms", F.lit(0).cast("long"))
+    net = {r.id: (r._action, r.attrs) for r in net_changes(rows, ["id"]).collect()}
+    assert net[1][0] == "delete"
+    assert net[2] == ("update_postimage", {"b": "3"})
+
+
+def test_ledger_invalidate_tasks_survives_reload(tmp_path):
+    """Finding 6 (unit): retracted lineage stays retracted on reload;
+    later tasks under a different attempt prefix survive."""
+    root = str(tmp_path)
+    led = PassLedger(root, "p1")
+    led.record_task("wave-00000", {"outputs": ["x"]})
+    led.record_task("wave-00001", {"outputs": ["y"]})
+    led.invalidate_tasks("")  # attempt 0 dropped
+    led.record_task("a1-wave-00000", {"outputs": ["z"]})
+    assert led.task_result("wave-00000") is None
+    assert led.task_result("a1-wave-00000") == {"outputs": ["z"]}
+
+    reloaded = PassLedger(root, "p1")
+    assert reloaded.task_result("wave-00000") is None
+    assert reloaded.task_result("wave-00001") is None
+    assert reloaded.task_result("a1-wave-00000") == {"outputs": ["z"]}
+
+
+def test_replan_retracts_stale_wave_lineage(spark, tmp_path, monkeypatch):
+    """Finding 6 (integration): after a compact re-plan, every wave
+    result still resident in the reloaded ledger points at files that
+    exist — the dropped attempt's lineage was retracted."""
+    import os
+
+    from pi2spark import maintenance as mnt
+    from pi2spark.errors import StaleDeltaError
+
+    t = Table.create(str(tmp_path / "tbl"))
+    df = synthesize_source_files(spark, 200, seed=9, partitions=8, max_len=300)
+    t.append(df, spark)
+
+    real = Table.commit_with_retry
+    calls = {"n": 0}
+
+    def flaky(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise StaleDeltaError("simulated racing rewrite")
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(Table, "commit_with_retry", flaky)
+    res = mnt.compact(t, spark, target_file_bytes=1 << 20, pass_id="replan-test")
+    assert not res.skipped
+
+    led = PassLedger(t.root, "replan-test")
+    tasks = led.completed_tasks()
+    assert tasks, "replanned pass should have surviving wave lineage"
+    for rec in tasks.values():
+        for o in rec["result"]["outputs"]:
+            assert os.path.exists(os.path.join(t.root, o["path"]))
+    # and none of the retracted attempt-0 task ids survive
+    assert all(tid.startswith("a1-") for tid in tasks)
+
+
+def test_boilerplate_counts_distinct_docs(spark):
+    """Finding 7: a line repeated across one document's rows counts
+    once; min_docs means documents, not rows."""
+    from pi2spark.textops import boilerplate_lines
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "banner\nalpha"),
+            ("d1", "banner\nbeta"),  # same doc again: banner still 1 doc
+            ("d2", "banner\ngamma"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.line: r.n_docs for r in boilerplate_lines(df, "text", "doc_id", 2).collect()}
+    assert got == {"banner": 2}

@@ -62,22 +62,46 @@ def test_upsert_stream_order_col_keeps_last(spark, tmp_path):
 
 
 def test_upsert_stream_replay_is_idempotent(spark, tmp_path):
+    """Genuine replay: SAME checkpoint, crash simulated by truncating
+    the checkpoint's batch-commit log after the run — Spark re-delivers
+    batch 0 under the same incarnation, and the deterministic merge
+    pass id finds its committed ledger and skips."""
+    import shutil
+
     t = _mk_table(spark, str(tmp_path))
     src = os.path.join(str(tmp_path), "cdc")
     ckpt = os.path.join(str(tmp_path), "ckpt")
     cdc = spark.createDataFrame([(1, 111, 1)], "k long, v long, ver int")
     cdc.write.parquet(src)
-    for i in range(2):  # second run uses a FRESH checkpoint -> batch 0 re-delivered
+
+    def _run():
         q = upsert_stream(
             spark.readStream.schema(cdc.schema).parquet(src),
-            t, on="k",
-            checkpoint_dir=os.path.join(ckpt, f"run{i}"), query_name="up3",
+            t, on="k", checkpoint_dir=ckpt, query_name="up3",
         )
         q.awaitTermination(120)
-    # deterministic pass id -> the replayed batch 0 was ledger-skipped:
-    # exactly one merge snapshot beyond the initial append
+        assert q.exception() is None
+
+    _run()
+    assert len(t.snapshots()) == 2  # append + one merge
+    # crash window: table committed, checkpoint offset-commit lost
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _run()  # batch 0 re-delivered, same incarnation -> ledger-skipped
     assert len(t.snapshots()) == 2
     assert t.scan(spark).filter(F.col("k") == 1).first()["v"] == 111
+
+    # a FRESH checkpoint is a NEW stream, not a replay: it re-merges
+    # (idempotent by content — state unchanged, one more merge snapshot)
+    q = upsert_stream(
+        spark.readStream.schema(cdc.schema).parquet(src),
+        t, on="k", checkpoint_dir=os.path.join(str(tmp_path), "ckpt2"),
+        query_name="up3",
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert len(t.snapshots()) == 3
+    assert t.scan(spark).filter(F.col("k") == 1).first()["v"] == 111
+    assert t.scan(spark).count() == 200
 
 
 def test_upsert_stream_delete_mode(spark, tmp_path):
