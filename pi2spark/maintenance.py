@@ -225,6 +225,47 @@ def _drop_attempt_outputs(
         ledger.invalidate_tasks(task_prefix)
 
 
+def _run_with_replans(
+    table: Table,
+    ledger: PassLedger,
+    operation: str,
+    max_replans: int,
+    attempt_fn,
+):
+    """The conflict re-planning protocol shared by every rewrite pass
+    (compact / shred / merge_into / reencrypt): plan an attempt from
+    the CURRENT snapshot, try to commit its delta, and on
+    ``StaleDeltaError`` (a racing pass rewrote this attempt's inputs —
+    the delta can never apply) drop the attempt's orphaned outputs,
+    durably retract its ledger lineage, and re-plan from the fresh
+    snapshot, up to ``max_replans`` times.
+
+    ``attempt_fn(attempt, task_prefix)`` returns either a finished
+    ``PassResult`` (nothing to do — the skip short-circuit) or a tuple
+    ``(added, removed_paths, summary, finish)`` where
+    ``finish(new_snap) -> PassResult`` builds the success result and
+    may also append extra ledger records. Disjoint version races (the
+    winner touched OTHER files) never reach this level —
+    ``commit_with_retry`` re-applies the delta internally."""
+    last_err: Exception | None = None
+    for attempt in range(max_replans + 1):
+        prefix = f"a{attempt}-" if attempt else ""
+        planned = attempt_fn(attempt, prefix)
+        if isinstance(planned, PassResult):
+            return planned
+        added, removed, summary, finish = planned
+        try:
+            new_snap = table.commit_with_retry(
+                operation, added=added, removed_paths=removed, summary=summary
+            )
+        except StaleDeltaError as e:
+            last_err = e
+            _drop_attempt_outputs(table, added, ledger, prefix)
+            continue
+        return finish(new_snap)
+    raise last_err  # type: ignore[misc]
+
+
 def compact(
     table: Table,
     spark: SparkSession,
@@ -258,8 +299,7 @@ def compact(
     if ledger.committed:
         return PassResult("compact", pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True)
 
-    last_err: Exception | None = None
-    for attempt in range(max_replans + 1):
+    def _attempt(attempt: int, prefix: str):
         snap = table.snapshot()
         small = [f for f in snap.files if f.bytes < target_file_bytes * small_ratio]
         small.sort(key=lambda f: f.path)
@@ -274,33 +314,28 @@ def compact(
             f"compact-{pass_id}",
             target_bytes=target_file_bytes,
             wave_files=wave_files,
-            task_prefix=f"a{attempt}-" if attempt else "",
+            task_prefix=prefix,
         )
         removed = [p for r in results for p in r["inputs"]]
         added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
-        try:
-            new_snap = table.commit_with_retry(
+
+        def finish(new_snap):
+            ledger.record_commit(new_snap.snapshot_id, {"waves": len(results)})
+            return PassResult(
                 "compact",
-                added=added,
-                removed_paths=removed,
-                summary={"pass_id": pass_id, "waves": len(results), "replans": attempt},
+                pass_id,
+                new_snap.snapshot_id,
+                rewritten_files=len(removed),
+                added_files=len(added),
+                rewritten_bytes=sum(r["bytes_in"] for r in results),
+                seconds=time.time() - t0,
+                details={"waves": len(results), "replans": attempt},
             )
-        except StaleDeltaError as e:
-            last_err = e
-            _drop_attempt_outputs(table, added, ledger, f"a{attempt}-" if attempt else "")
-            continue
-        ledger.record_commit(new_snap.snapshot_id, {"waves": len(results)})
-        return PassResult(
-            "compact",
-            pass_id,
-            new_snap.snapshot_id,
-            rewritten_files=len(removed),
-            added_files=len(added),
-            rewritten_bytes=sum(r["bytes_in"] for r in results),
-            seconds=time.time() - t0,
-            details={"waves": len(results), "replans": attempt},
-        )
-    raise last_err  # type: ignore[misc]
+
+        summary = {"pass_id": pass_id, "waves": len(results), "replans": attempt}
+        return added, removed, summary, finish
+
+    return _run_with_replans(table, ledger, "compact", max_replans, _attempt)
 
 
 # ---------------------------------------------------------------------------
@@ -678,8 +713,7 @@ def shred(
             )
         return out.drop("__forget").select(*df.columns)
 
-    last_err: Exception | None = None
-    for attempt in range(max_replans + 1):
+    def _attempt(attempt: int, prefix: str):
         snap = table.snapshot()
         affected = [f for f in snap.files if pred.may_match(f)]
         if not affected:
@@ -701,42 +735,37 @@ def shred(
             transform=tombstone,
             sort_col="zkey",
             wave_files=wave_files,
-            task_prefix=f"a{attempt}-" if attempt else "",
+            task_prefix=prefix,
         )
         removed = [p for r in results for p in r["inputs"]]
         added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
-        try:
-            new_snap = table.commit_with_retry(
+
+        def finish(new_snap):
+            ledger.record_commit(new_snap.snapshot_id)
+            return PassResult(
                 "shred",
-                added=added,
-                removed_paths=removed,
-                summary={
-                    "pass_id": pass_id,
-                    "subjects": subjects,
+                pass_id,
+                new_snap.snapshot_id,
+                rewritten_files=len(affected),
+                added_files=len(added),
+                rewritten_bytes=sum(f.bytes for f in affected),
+                seconds=time.time() - t0,
+                details={
                     "affected_files": len(affected),
+                    "total_files": len(snap.files),
                     "replans": attempt,
                 },
             )
-        except StaleDeltaError as e:
-            last_err = e
-            _drop_attempt_outputs(table, added, ledger, f"a{attempt}-" if attempt else "")
-            continue
-        ledger.record_commit(new_snap.snapshot_id)
-        return PassResult(
-            "shred",
-            pass_id,
-            new_snap.snapshot_id,
-            rewritten_files=len(affected),
-            added_files=len(added),
-            rewritten_bytes=sum(f.bytes for f in affected),
-            seconds=time.time() - t0,
-            details={
-                "affected_files": len(affected),
-                "total_files": len(snap.files),
-                "replans": attempt,
-            },
-        )
-    raise last_err  # type: ignore[misc]
+
+        summary = {
+            "pass_id": pass_id,
+            "subjects": subjects,
+            "affected_files": len(affected),
+            "replans": attempt,
+        }
+        return added, removed, summary, finish
+
+    return _run_with_replans(table, ledger, "shred", max_replans, _attempt)
 
 
 def merge_into(
@@ -865,15 +894,13 @@ def merge_into(
             )
         )
 
-    last_err: Exception | None = None
-    for attempt in range(max_replans + 1):
+    def _attempt(attempt: int, prefix: str):
         try:
             snap = table.snapshot()
         except Pi2SparkError:
             snap = None  # merging into an empty table: pure insert
         tgt_files = snap.files if snap is not None else []
         affected = [f for f in tgt_files if all(p.may_match(f) for p in preds)]
-        prefix = f"a{attempt}-" if attempt else ""
 
         if affected and broadcastable:
             results = _rewrite_files_in_waves(
@@ -937,39 +964,33 @@ def merge_into(
                         pass
             added = added + [a for a in ins_added if a.rows > 0]
 
-        try:
-            new_snap = table.commit_with_retry(
-                "merge",
-                added=added,
-                removed_paths=removed,
-                summary={
-                    "pass_id": pass_id,
-                    "on": keys,
-                    "when_matched": when_matched,
-                    "when_not_matched": when_not_matched,
-                    "n_source_rows": int(n_src),
+        def finish(new_snap):
+            ledger.record_commit(new_snap.snapshot_id)
+            return PassResult(
+                "merge", pass_id, new_snap.snapshot_id,
+                rewritten_files=len(affected), added_files=len(added),
+                rewritten_bytes=sum(f.bytes for f in affected),
+                seconds=time.time() - t0,
+                details={
                     "affected_files": len(affected),
+                    "total_files": len(tgt_files),
+                    "broadcast_path": broadcastable,
                     "replans": attempt,
                 },
             )
-        except StaleDeltaError as e:
-            last_err = e
-            _drop_attempt_outputs(table, added, ledger, f"a{attempt}-" if attempt else "")
-            continue
-        ledger.record_commit(new_snap.snapshot_id)
-        return PassResult(
-            "merge", pass_id, new_snap.snapshot_id,
-            rewritten_files=len(affected), added_files=len(added),
-            rewritten_bytes=sum(f.bytes for f in affected),
-            seconds=time.time() - t0,
-            details={
-                "affected_files": len(affected),
-                "total_files": len(tgt_files),
-                "broadcast_path": broadcastable,
-                "replans": attempt,
-            },
-        )
-    raise last_err  # type: ignore[misc]
+
+        summary = {
+            "pass_id": pass_id,
+            "on": keys,
+            "when_matched": when_matched,
+            "when_not_matched": when_not_matched,
+            "n_source_rows": int(n_src),
+            "affected_files": len(affected),
+            "replans": attempt,
+        }
+        return added, removed, summary, finish
+
+    return _run_with_replans(table, ledger, "merge", max_replans, _attempt)
 
 
 def reencrypt(
@@ -1027,8 +1048,7 @@ def reencrypt(
                 )
         return out.select(*df.columns)
 
-    last_err: Exception | None = None
-    for attempt in range(max_replans + 1):
+    def _attempt(attempt: int, prefix: str):
         snap = table.snapshot()
         affected = [f for f in snap.files if pred.may_match(f)]
         if not affected:
@@ -1044,42 +1064,37 @@ def reencrypt(
             transform=reseal,
             sort_col="zkey",
             wave_files=wave_files,
-            task_prefix=f"a{attempt}-" if attempt else "",
+            task_prefix=prefix,
         )
         removed = [p for r in results for p in r["inputs"]]
         added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
-        try:
-            new_snap = table.commit_with_retry(
+
+        def finish(new_snap):
+            ledger.record_commit(new_snap.snapshot_id)
+            return PassResult(
                 "reencrypt",
-                added=added,
-                removed_paths=removed,
-                summary={
-                    "pass_id": pass_id,
-                    "subjects": subjects,
+                pass_id,
+                new_snap.snapshot_id,
+                rewritten_files=len(affected),
+                added_files=len(added),
+                rewritten_bytes=sum(f.bytes for f in affected),
+                seconds=time.time() - t0,
+                details={
                     "affected_files": len(affected),
+                    "total_files": len(snap.files),
                     "replans": attempt,
                 },
             )
-        except StaleDeltaError as e:
-            last_err = e
-            _drop_attempt_outputs(table, added, ledger, f"a{attempt}-" if attempt else "")
-            continue
-        ledger.record_commit(new_snap.snapshot_id)
-        return PassResult(
-            "reencrypt",
-            pass_id,
-            new_snap.snapshot_id,
-            rewritten_files=len(affected),
-            added_files=len(added),
-            rewritten_bytes=sum(f.bytes for f in affected),
-            seconds=time.time() - t0,
-            details={
-                "affected_files": len(affected),
-                "total_files": len(snap.files),
-                "replans": attempt,
-            },
-        )
-    raise last_err  # type: ignore[misc]
+
+        summary = {
+            "pass_id": pass_id,
+            "subjects": subjects,
+            "affected_files": len(affected),
+            "replans": attempt,
+        }
+        return added, removed, summary, finish
+
+    return _run_with_replans(table, ledger, "reencrypt", max_replans, _attempt)
 
 
 def rotate_many_and_reencrypt(
