@@ -1,0 +1,382 @@
+"""Spark Python Data Source for pi2spark tables (Spark 4's
+``pyspark.sql.datasource`` API): ``spark.read.format("pi2spark")``
+batch reads and ``spark.readStream.format("pi2spark")`` streaming
+reads with snapshot-id offsets — the table becomes a first-class
+Spark source a user can hand to any DataFrame/SQL pipeline without
+importing this library's scan API.
+
+Batch (``spark.read.format("pi2spark").load(root)``):
+
+* snapshot isolation (``option("snapshot_id", N)`` time-travels);
+* file pruning via ``pushFilters`` — supported filters (=, IN, <, <=,
+  >, >=, IS NULL on top-level columns) are mapped to the manifest's
+  per-file min/max stats and subject blooms, so a selective read
+  plans only the surviving files' partitions; every filter is also
+  returned to Spark for row-level re-application (stats pruning is
+  necessary-not-sufficient);
+* schema evolution applied at read time (renames coalesce, added
+  columns materialize as NULLs) — same contract as ``Table.scan``.
+
+Streaming: offsets are snapshot ids (``{"snapshot_id": N}``), the
+natural exactly-once cursor for a snapshot log — Delta's streaming
+source uses table versions the same way. Each micro-batch delivers the
+rows of files ADDED by append snapshots in ``(start, end]``. Non-append
+snapshots (compact/shred/merge rewrites) fail the stream by default —
+their file churn is not append data; ``option("ignore_changes",
+"true")`` skips them instead (Delta's ``ignoreChanges``), with the
+documented caveat that rewritten rows are NOT re-delivered. The
+snapshot ``parent_id`` chain is verified over every consumed range
+(the contiguity guard from ``Table.changes``).
+
+100 TB shape: offsets and partition planning are manifest metadata
+operations on the driver (no data read); each ``InputPartition``
+carries an explicit file list packed to ~``partition_bytes`` and is
+read executor-side via pyarrow as Arrow record batches (the zero-copy
+path through the Python worker). The native-JVM parquet scan
+(``Table.scan``) remains the hot path for this library's own
+maintenance jobs; this source is the interoperability and streaming
+surface.
+
+Reference parity: the reference exposes its data through Kafka
+consumer interceptors (pi2schema's serializer SPI); the lakehouse
+analogue of "point your consumer at the topic" is "point
+``readStream`` at the table", which is exactly what this module
+provides.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from pi2spark.errors import Pi2SparkError
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pi2spark.table import ColumnPredicate, Table
+
+DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+@dataclass
+class _FilesPartition(InputPartition):
+    """One read task: a packed group of data files. Self-contained and
+    picklable — the executor-side ``read`` needs nothing but this."""
+
+    root: str
+    paths: tuple  # relative data-file paths
+    schema_json: str  # logical read schema (StructType.json())
+    ops_json: str  # schema-evolution ops (Table.schema_ops())
+
+
+def _load_table(options) -> "Table":
+    from pi2spark.table import Table
+
+    path = options.get("path")
+    if not path:
+        raise Pi2SparkError(
+            "pi2spark source needs a table root: .load('/path/to/table') "
+            "or .option('path', ...)"
+        )
+    return Table(path)
+
+
+def _logical_schema(table: "Table") -> StructType:
+    """The table's logical schema as a StructType, computed from
+    metadata only (no Spark job, no JVM): physical union schema with
+    evolution ops replayed. Add-ops carry Spark DDL type strings;
+    primitives are resolved here, and Spark re-validates the result
+    against the source schema at planning time."""
+    base = table.data_schema()
+    if base is None:
+        raise Pi2SparkError("table has no persisted schema yet (no writes)")
+    fields = list(base.fields)
+
+    def _find(name):
+        for i, f in enumerate(fields):
+            if f.name == name:
+                return i
+        return -1
+
+    for op in table.schema_ops():
+        if op["op"] == "rename":
+            i_old, i_new = _find(op["from"]), _find(op["to"])
+            if i_old >= 0 and i_new >= 0:
+                fields.pop(i_old)
+            elif i_old >= 0:
+                f = fields[i_old]
+                fields[i_old] = type(f)(op["to"], f.dataType, True)
+        elif op["op"] == "add":
+            if _find(op["name"]) < 0:
+                fields.append(_ddl_field(op["name"], op["type"]))
+        elif op["op"] == "drop":
+            i = _find(op["name"])
+            if i >= 0:
+                fields.pop(i)
+    return StructType(fields)
+
+
+def _ddl_field(name: str, ddl: str):
+    """StructField from a Spark DDL type string without a JVM: the
+    primitive vocabulary schema evolution actually uses. (Complex
+    types would need a session-side parser — add_column validates its
+    type through Spark already, so anything stored here is legal.)"""
+    from pyspark.sql import types as T
+
+    prims = {
+        "string": T.StringType(),
+        "int": T.IntegerType(),
+        "integer": T.IntegerType(),
+        "bigint": T.LongType(),
+        "long": T.LongType(),
+        "smallint": T.ShortType(),
+        "tinyint": T.ByteType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "binary": T.BinaryType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }
+    dt = prims.get(ddl.strip().lower())
+    if dt is None:
+        raise Pi2SparkError(
+            f"unsupported evolved-column type for the pi2spark source: {ddl!r}"
+        )
+    return T.StructField(name, dt, True)
+
+
+def _pack_partitions(table: "Table", files, partition_bytes: int) -> list[_FilesPartition]:
+    schema_json = _logical_schema(table).json()
+    ops_json = json.dumps(table.schema_ops())
+    parts: list[_FilesPartition] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in sorted(files, key=lambda f: f.path):
+        if cur and cur_bytes + f.bytes > partition_bytes:
+            parts.append(_FilesPartition(table.root, tuple(cur), schema_json, ops_json))
+            cur, cur_bytes = [], 0
+        cur.append(f.path)
+        cur_bytes += f.bytes
+    if cur:
+        parts.append(_FilesPartition(table.root, tuple(cur), schema_json, ops_json))
+    return parts
+
+
+def _read_partition(part: _FilesPartition) -> Iterator:
+    """Executor-side: yield Arrow record batches for one file group,
+    projected to the logical schema (renames coalesced, missing
+    columns as NULLs) — the pyarrow mirror of ``apply_schema_ops``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = StructType.fromJson(json.loads(part.schema_json))
+    ops = json.loads(part.ops_json)
+    target = to_arrow_schema(schema)
+    for rel in part.paths:
+        at = pq.read_table(os.path.join(part.root, rel))
+        cols = []
+        for field in target:
+            # a renamed logical column may exist under its old
+            # physical name in pre-rename files
+            src = field.name
+            if src not in at.column_names:
+                for op in ops:
+                    if op.get("op") == "rename" and op["to"] == field.name:
+                        if op["from"] in at.column_names:
+                            src = op["from"]
+                            break
+            if src in at.column_names:
+                cols.append(at[src].cast(field.type))
+            else:
+                cols.append(pa.nulls(len(at), field.type))
+        yield from pa.table(cols, schema=target).to_batches()
+
+
+def _filters_to_predicates(filters: Sequence[Filter]) -> list["ColumnPredicate"]:
+    """Map the pushable subset of Spark filters to stats predicates.
+    Only top-level columns; anything unmappable is simply not pruned
+    on (every filter is re-applied by Spark regardless)."""
+    from pi2spark.table import ColumnPredicate
+
+    preds = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue
+        col = attr[0]
+        if isinstance(f, EqualTo):
+            preds.append(ColumnPredicate(col, "eq", f.value))
+        elif isinstance(f, In):
+            preds.append(ColumnPredicate(col, "in", values=tuple(f.value)))
+        elif isinstance(f, (LessThan, LessThanOrEqual)):
+            # stats granularity cannot distinguish < from <= (a file
+            # whose min equals the bound may still hold matches)
+            preds.append(ColumnPredicate(col, "le", f.value))
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            preds.append(ColumnPredicate(col, "ge", f.value))
+        elif isinstance(f, IsNull):
+            # min/max stats ignore NULLs — no file-level pruning
+            continue
+    return preds
+
+
+class Pi2SparkBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._options = options
+        self._preds: list = []
+
+    def pushFilters(self, filters):  # noqa: N802 — Spark API name
+        self._preds = _filters_to_predicates(filters)
+        # file-level pruning is necessary-not-sufficient: Spark must
+        # still apply every filter row-level, so none are consumed
+        return filters
+
+    def partitions(self):
+        table = _load_table(self._options)
+        snap_opt = self._options.get("snapshot_id")
+        _, files = table.plan_files(
+            int(snap_opt) if snap_opt is not None else None, self._preds
+        )
+        pb = int(self._options.get("partition_bytes", DEFAULT_PARTITION_BYTES))
+        parts = _pack_partitions(table, files, pb)
+        # Spark requires at least one partition even for an empty plan
+        return parts or [
+            _FilesPartition(table.root, (), _logical_schema(table).json(), "[]")
+        ]
+
+    def read(self, partition):
+        return _read_partition(partition)
+
+
+class Pi2SparkStreamReader(DataSourceStreamReader):
+    """Snapshot-log streaming source. One micro-batch = the files
+    appended in ``(start, end]`` snapshots."""
+
+    def __init__(self, options):
+        self._options = options
+        self._table = _load_table(options)
+        self._ignore_changes = str(
+            options.get("ignore_changes", "false")
+        ).lower() in ("1", "true", "yes")
+
+    def initialOffset(self):  # noqa: N802
+        start = self._options.get("starting_snapshot_id")
+        if start is not None:
+            return {"snapshot_id": int(start)}
+        # default: only data appended AFTER the stream starts (Delta's
+        # default startingVersion=latest semantics)
+        cur = self._table.current_snapshot_id()
+        return {"snapshot_id": int(cur or 0)}
+
+    def latestOffset(self):  # noqa: N802
+        cur = self._table.current_snapshot_id()
+        return {"snapshot_id": int(cur or 0)}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if hi <= lo:
+            return [self._empty_partition()]
+        snaps = sorted(self._table.snapshots(), key=lambda s: s["snapshot_id"])
+        in_range = [s for s in snaps if lo < s["snapshot_id"] <= hi]
+        if not in_range:
+            return [self._empty_partition()]
+        # resolve the consumption base: offset 0 = before the first
+        # snapshot (full history); otherwise the lo snapshot must still
+        # exist, or the range's head was expired from under the stream
+        if lo == 0:
+            prev_id, prev_paths = None, set()
+        else:
+            base = next((s for s in snaps if s["snapshot_id"] == lo), None)
+            if base is None:
+                raise Pi2SparkError(
+                    f"streaming offset {lo} refers to an expired snapshot; "
+                    "restart the stream with a fresh checkpoint"
+                )
+            prev_id, prev_paths = lo, self._table.manifest_data_paths(base)
+        new_files = []
+        for s in in_range:
+            # contiguity: an unbroken parent chain over the consumed
+            # range, or expired intermediates silently swallow data
+            if s.get("parent_id") != prev_id:
+                raise Pi2SparkError(
+                    f"streaming history is not contiguous at snapshot "
+                    f"{s['snapshot_id']} (parent {s.get('parent_id')}, expected "
+                    f"{prev_id}) — an intermediate snapshot was expired"
+                )
+            cur_paths = self._table.manifest_data_paths(s)
+            if s["operation"] == "append":
+                added = sorted(cur_paths - prev_paths)
+                by_path = {f.path: f for f in self._table.snapshot(s["snapshot_id"]).files}
+                new_files.extend(by_path[p] for p in added if p in by_path)
+            elif not self._ignore_changes:
+                raise Pi2SparkError(
+                    f"snapshot {s['snapshot_id']} is a non-append change "
+                    f"({s['operation']}); the pi2spark streaming source is "
+                    "append-only — set option('ignore_changes', 'true') to "
+                    "skip rewrites (rewritten rows are NOT re-delivered)"
+                )
+            prev_paths, prev_id = cur_paths, s["snapshot_id"]
+        pb = int(self._options.get("partition_bytes", DEFAULT_PARTITION_BYTES))
+        parts = _pack_partitions(self._table, new_files, pb)
+        return parts or [self._empty_partition()]
+
+    def _empty_partition(self):
+        return _FilesPartition(
+            self._table.root, (), _logical_schema(self._table).json(), "[]"
+        )
+
+    def read(self, partition):
+        return _read_partition(partition)
+
+    def commit(self, end):
+        pass  # offsets are durable in the table's own snapshot log
+
+    def stop(self):
+        pass
+
+
+class Pi2SparkDataSource(DataSource):
+    """``spark.dataSource.register(Pi2SparkDataSource)`` (or
+    ``pi2spark.datasource.register(spark)``), then
+    ``spark.read.format("pi2spark").load(root)``."""
+
+    @classmethod
+    def name(cls):
+        return "pi2spark"
+
+    def schema(self):
+        return _logical_schema(_load_table(self.options))
+
+    def reader(self, schema):
+        return Pi2SparkBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return Pi2SparkStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source with a session (idempotent), enabling the
+    Python-source filter-pushdown hook our ``pushFilters`` needs
+    (off by default in Spark 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(Pi2SparkDataSource)

@@ -1,0 +1,211 @@
+"""Spark Python Data Source tests (pi2spark/datasource.py): batch
+parity with Table.scan, time travel, stats-pruned planning under
+pushFilters, schema evolution at read time, and the snapshot-offset
+streaming source (append-only contract + contiguity)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.crypto import broadcast_keys, encrypt_table
+from pi2spark.datasource import Pi2SparkBatchReader, register
+from pi2spark.errors import Pi2SparkError
+from pi2spark.registry import KeyRegistry
+from pi2spark.spec import ProtectionSpec
+from pi2spark.synth import synthesize_source_files
+from pi2spark.table import Table
+from pi2spark.verify import content_digest
+
+SPEC = ProtectionSpec.for_source_files()
+
+
+@pytest.fixture()
+def ranged_table(spark, tmp_table_root):
+    """Four files with disjoint id ranges + stats, for pruning tests."""
+    t = Table.create(tmp_table_root, properties={"stats.columns": ["id"]})
+    t.append(
+        spark.range(400).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "id"),
+        spark,
+    )
+    register(spark)
+    return t
+
+
+def test_batch_read_matches_scan(spark, tmp_path):
+    """The source reads the same rows as Table.scan — on a REAL table
+    (encrypted envelopes, struct-of-binary columns) not just toys."""
+    plain = synthesize_source_files(spark, 150, seed=31, partitions=3, max_len=400)
+    reg = KeyRegistry()
+    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(str(tmp_path / "tbl"))
+    t.append(encrypt_table(plain, SPEC, keys), spark)
+    register(spark)
+
+    from pi2spark.crypto import decrypt_table
+
+    via_ds = spark.read.format("pi2spark").load(t.root)
+    via_scan = t.scan(spark)
+    assert sorted(via_ds.columns) == sorted(via_scan.columns)
+    assert content_digest(decrypt_table(via_ds, SPEC, keys)) == content_digest(
+        decrypt_table(via_scan, SPEC, keys)
+    )
+
+
+def test_batch_time_travel(ranged_table, spark):
+    t = ranged_table
+    s1 = t.current_snapshot_id()
+    t.append(spark.range(10).select((F.col("id") + 10_000).alias("id"), F.lit(0).alias("v")), spark)
+    cur = spark.read.format("pi2spark").load(t.root)
+    old = spark.read.format("pi2spark").option("snapshot_id", s1).load(t.root)
+    assert cur.count() == 410
+    assert old.count() == 400
+
+
+def test_push_filters_prune_file_partitions(ranged_table):
+    """An id-range filter plans only the surviving files' partitions
+    (driver-side manifest pruning, before any byte is read)."""
+    t = ranged_table
+    opts = {"path": t.root, "partition_bytes": "1"}  # 1 byte -> 1 file/part
+    base = Pi2SparkBatchReader(opts)
+    all_parts = [p for p in base.partitions() if p.paths]
+    assert len(all_parts) == 4
+
+    from pyspark.sql.datasource import EqualTo
+
+    pruned = Pi2SparkBatchReader(opts)
+    leftover = pruned.pushFilters([EqualTo(("id",), 5)])
+    assert list(leftover)  # every filter returned for row-level re-apply
+    hit = [p for p in pruned.partitions() if p.paths]
+    assert len(hit) == 1  # disjoint ranges: exactly one file may match
+
+
+def test_filtered_read_is_correct(ranged_table, spark):
+    df = spark.read.format("pi2spark").load(ranged_table.root)
+    got = df.filter(F.col("id").between(100, 110)).select("id", "v").collect()
+    assert {r.id: r.v for r in got} == {i: i * 2 for i in range(100, 111)}
+
+
+def test_schema_evolution_applies(ranged_table, spark):
+    t = ranged_table
+    t.rename_column("v", "value")
+    t.add_column("note", "string")
+    df = spark.read.format("pi2spark").load(t.root)
+    assert set(df.columns) == {"id", "value", "note"}
+    row = df.filter(F.col("id") == 7).first()
+    assert row.value == 14 and row.note is None
+
+
+def test_stream_from_beginning_and_incremental(ranged_table, spark, tmp_path):
+    t = ranged_table
+    rows: list = []
+    ck = str(tmp_path / "ck")
+
+    def _drain():
+        q = (
+            spark.readStream.format("pi2spark")
+            .option("starting_snapshot_id", 0)
+            .load(t.root)
+            .writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    _drain()
+    assert len(rows) == 400
+    # append more; the SAME checkpoint resumes from the stored snapshot
+    # offset and delivers only the new files
+    t.append(spark.range(25).select((F.col("id") + 5000).alias("id"), F.lit(1).alias("v")), spark)
+    rows.clear()
+    _drain()
+    assert len(rows) == 25
+    assert {r.id for r in rows} == {5000 + i for i in range(25)}
+
+
+def test_stream_default_starts_at_latest(ranged_table, spark, tmp_path):
+    t = ranged_table
+    rows: list = []
+    ck = str(tmp_path / "ck2")
+    q = (
+        spark.readStream.format("pi2spark").load(t.root)
+        .writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert rows == []  # existing data is not replayed by default
+
+
+def test_stream_rejects_rewrites_unless_ignored(ranged_table, spark, tmp_path):
+    from pi2spark.maintenance import compact
+
+    t = ranged_table
+    s0 = t.current_snapshot_id()
+    compact(t, spark, target_file_bytes=1 << 20)
+    assert t.current_snapshot_id() > s0
+
+    def _run(ck, **opts):
+        reader = spark.readStream.format("pi2spark").option(
+            "starting_snapshot_id", 0
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        rows: list = []
+        q = (
+            reader.load(t.root)
+            .writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        err = None
+        try:
+            q.awaitTermination(120)
+        except Exception as e:  # planning errors surface here
+            err = e
+        return err or q.exception(), rows
+
+    e1, _ = _run("ckA")
+    assert e1 is not None and "non-append" in str(e1)
+
+    e2, rows = _run("ckB", ignore_changes="true")
+    assert e2 is None
+    # each append's data is delivered exactly once, from the files as
+    # originally written (still on disk, pinned by snapshot 1); the
+    # compaction snapshot itself contributes nothing
+    assert len(rows) == 400
+    assert {r.id for r in rows} == set(range(400))
+
+
+def test_stream_detects_expired_history(ranged_table, spark, tmp_path):
+    from pi2spark.maintenance import expire_snapshots
+
+    t = ranged_table
+    t.append(spark.range(5).select((F.col("id") + 9000).alias("id"), F.lit(2).alias("v")), spark)
+    t.append(spark.range(5).select((F.col("id") + 9500).alias("id"), F.lit(3).alias("v")), spark)
+    expire_snapshots(t, keep_last=1)  # breaks the chain below current
+    rows: list = []
+    q = (
+        spark.readStream.format("pi2spark")
+        .option("starting_snapshot_id", 0)
+        .load(t.root)
+        .writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    err = None
+    try:
+        q.awaitTermination(120)
+    except Exception as e:  # planning errors surface here
+        err = e
+    err = err or q.exception()
+    assert err is not None
+    assert "not contiguous" in str(err) or "expired" in str(err)
