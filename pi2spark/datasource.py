@@ -1,9 +1,11 @@
 """Spark Python Data Source for pi2spark tables (Spark 4's
 ``pyspark.sql.datasource`` API): ``spark.read.format("pi2spark")``
-batch reads and ``spark.readStream.format("pi2spark")`` streaming
-reads with snapshot-id offsets — the table becomes a first-class
-Spark source a user can hand to any DataFrame/SQL pipeline without
-importing this library's scan API.
+batch reads, ``spark.readStream.format("pi2spark")`` streaming reads
+with snapshot-id offsets, ``df.write.format("pi2spark")`` atomic
+append/overwrite, and ``writeStream.format("pi2spark")`` exactly-once
+streaming appends — the table becomes a first-class Spark source and
+sink a user can hand to any DataFrame/SQL pipeline without importing
+this library's scan API.
 
 Batch (``spark.read.format("pi2spark").load(root)``):
 
@@ -53,7 +55,9 @@ from typing import TYPE_CHECKING, Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -64,6 +68,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -355,10 +360,235 @@ class Pi2SparkStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _WrittenFile(WriterCommitMessage):
+    """One task's output: a staged data file + its manifest entry
+    fields (stats computed in-task — no read-back pass)."""
+
+    rel_path: str | None  # None: the task saw no rows
+    rows: int = 0
+    bytes: int = 0
+    stats_json: str = "{}"
+    blooms_json: str = "{}"
+
+
+class _ArrowFileWriter:
+    """Shared executor-side write half of the batch and streaming
+    writers: each task streams its Arrow batches into ONE parquet file
+    under a staged pass directory (writer-unique uuid names — two
+    racing writers can never collide) and computes the file's min/max
+    stats + subject blooms in the same task. Nothing is visible to
+    readers until the driver-side ``commit`` links the staged files
+    into a snapshot; ``abort`` just deletes them. This is the same
+    two-phase write every table-format sink uses (Iceberg's
+    WriterCommitMessage/commit protocol), which makes the whole write
+    path safe on plain rename-less object stores.
+
+    Task memory is one Arrow batch at a time (ParquetWriter streams);
+    file sizing is controlled by the caller's partitioning, exactly
+    like ``Table.write_files``."""
+
+    def __init__(self, root: str, rel_dir: str, stat_cols, bloom_cols):
+        self._root = root
+        self._rel_dir = rel_dir
+        self._stat_cols = tuple(stat_cols)
+        self._bloom_cols = tuple(bloom_cols)
+
+    def write(self, iterator) -> _WrittenFile:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        from pi2spark.table import _footer_stats
+
+        writer = None
+        rel = os.path.join(self._rel_dir, f"ds-{uuid.uuid4().hex[:16]}.parquet")
+        out_abs = os.path.join(self._root, rel)
+        tmp = out_abs + ".inprogress"
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, batch.schema, compression="snappy")
+            writer.write_batch(batch)
+        if writer is None:
+            return _WrittenFile(rel_path=None)
+        writer.close()
+        os.rename(tmp, out_abs)
+        rows, size, stats, blooms = _footer_stats(
+            out_abs, self._stat_cols, self._bloom_cols
+        )
+        return _WrittenFile(rel, rows, size, json.dumps(stats), json.dumps(blooms))
+
+    def delete_staged(self, messages) -> None:
+        for m in messages or ():
+            if m is not None and m.rel_path:
+                try:
+                    os.remove(os.path.join(self._root, m.rel_path))
+                except OSError:
+                    pass
+
+
+def _writer_guard(table: "Table", options, schema: StructType) -> None:
+    """Refuse plaintext-PII writes into a protected table: the vanilla
+    ``df.write`` path bypasses ``encrypt_table``, so a raw PII column
+    in the incoming schema would commit unencrypted subject data next
+    to envelopes (the exact failure pi2schema's serializer interceptor
+    exists to prevent — SecretKeeper wraps BEFORE the write, not
+    after). Encrypted frames carry ``<col>_enc`` instead of ``<col>``
+    and pass untouched; ``option("allow_plaintext_pii", "true")``
+    opts out for unprotected-by-design columns."""
+    if str(options.get("allow_plaintext_pii", "false")).lower() in ("1", "true", "yes"):
+        return
+    from pi2spark.errors import SchemaNotFoundError
+
+    try:
+        spec = table.protection_spec()
+    except SchemaNotFoundError:
+        return
+    names = set(schema.fieldNames())
+    leaked = sorted(names & set(spec.pii_columns))
+    if leaked:
+        raise Pi2SparkError(
+            f"write would commit plaintext PII column(s) {leaked} into a "
+            "protected table; encrypt first (pi2spark.crypto.encrypt_table) "
+            "or set option('allow_plaintext_pii', 'true')"
+        )
+
+
+def _datafiles_from_messages(messages) -> list:
+    from pi2spark.table import DataFile
+
+    return [
+        DataFile(
+            path=m.rel_path,
+            rows=m.rows,
+            bytes=m.bytes,
+            stats=json.loads(m.stats_json),
+            blooms=json.loads(m.blooms_json),
+        )
+        for m in messages or ()
+        if m is not None and m.rel_path
+    ]
+
+
+class Pi2SparkBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("pi2spark").mode("append"|"overwrite")``.
+    Append commits the staged files as an append snapshot through the
+    optimistic-retry path (an append's delta re-applies over any
+    concurrent winner). Overwrite removes the files of the snapshot
+    current AT COMMIT TIME in the same atomic snapshot — replaced data
+    stays readable to pinned/time-travel scans until expiry."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        table = _load_table(options)
+        _writer_guard(table, options, schema)
+        self._root = table.root
+        self._overwrite = overwrite
+        self._schema_json = schema.json()
+        rel_dir, _ = table.new_data_dir("dswrite")
+        self._files = _ArrowFileWriter(
+            table.root, rel_dir, table.stats_columns(), table.bloom_columns()
+        )
+
+    def write(self, iterator):
+        return self._files.write(iterator)
+
+    def commit(self, messages):
+        from pi2spark.errors import ConcurrentCommitError
+        from pi2spark.table import Table
+
+        table = Table(self._root)
+        added = _datafiles_from_messages(messages)
+        table._persist_schema(StructType.fromJson(json.loads(self._schema_json)))
+        if self._overwrite:
+            # the removal set must match the version the commit lands
+            # on — recompute it on every optimistic retry
+            for attempt in range(5):
+                snap = table.snapshot() if table.current_snapshot_id() else None
+                removed = [f.path for f in snap.files] if snap else []
+                try:
+                    table.commit("overwrite", added=added, removed_paths=removed)
+                    return
+                except ConcurrentCommitError:
+                    if attempt == 4:
+                        raise
+        elif added:
+            table.commit_with_retry("append", added=added)
+
+    def abort(self, messages):
+        self._files.delete_staged(messages)
+
+
+class Pi2SparkStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("pi2spark")`` — exactly-once appends.
+    Each micro-batch's staged files commit as one append snapshot whose
+    summary records ``(sink key, batch id)``; a replayed batch (task
+    retry after a commit, or a restart re-running the last batch) is
+    detected through the same incarnation-scoped guard the
+    ``foreachBatch`` table sink uses and its staged files are deleted
+    instead of committed — the snapshot log is the idempotence ledger,
+    so exactly-once holds across driver crashes with no extra state.
+    The sink key comes from ``option("sink_id")`` or, by default, the
+    stream's checkpoint incarnation (Spark forwards
+    ``checkpointLocation`` to the sink's options)."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        table = _load_table(options)
+        _writer_guard(table, options, schema)
+        if overwrite:
+            raise Pi2SparkError(
+                "the pi2spark streaming sink is append-only (outputMode "
+                "append); use batch mode('overwrite') for replacement"
+            )
+        self._root = table.root
+        self._schema_json = schema.json()
+        self._sink_id = options.get("sink_id")
+        self._checkpoint = options.get("checkpointlocation") or ""
+        rel_dir, _ = table.new_data_dir("dsstream")
+        self._files = _ArrowFileWriter(
+            table.root, rel_dir, table.stats_columns(), table.bloom_columns()
+        )
+
+    def _qkey(self) -> str:
+        from pi2spark.streaming import _stream_incarnation
+
+        base = self._sink_id or "pi2spark-sink"
+        return f"{base}#{_stream_incarnation(self._checkpoint)}"
+
+    def write(self, iterator):
+        return self._files.write(iterator)
+
+    def commit(self, messages, batchId):  # noqa: N803 — Spark API name
+        from pi2spark.streaming import (
+            STREAM_BATCH_KEY,
+            STREAM_QUERY_KEY,
+            _is_replayed_batch,
+        )
+        from pi2spark.table import Table
+
+        table = Table(self._root)
+        qkey = self._qkey()
+        if _is_replayed_batch(table, qkey.split("#", 1)[0], qkey, batchId):
+            self._files.delete_staged(messages)
+            return
+        added = _datafiles_from_messages(messages)
+        table._persist_schema(StructType.fromJson(json.loads(self._schema_json)))
+        table.commit_with_retry(
+            "append",
+            added=added,
+            summary={STREAM_QUERY_KEY: qkey, STREAM_BATCH_KEY: int(batchId)},
+        )
+
+    def abort(self, messages, batchId):  # noqa: N803 — Spark API name
+        self._files.delete_staged(messages)
+
+
 class Pi2SparkDataSource(DataSource):
     """``spark.dataSource.register(Pi2SparkDataSource)`` (or
     ``pi2spark.datasource.register(spark)``), then
-    ``spark.read.format("pi2spark").load(root)``."""
+    ``spark.read.format("pi2spark").load(root)`` /
+    ``df.write.format("pi2spark").save(root)``."""
 
     @classmethod
     def name(cls):
@@ -372,6 +602,12 @@ class Pi2SparkDataSource(DataSource):
 
     def streamReader(self, schema):
         return Pi2SparkStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return Pi2SparkBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite):  # noqa: N802 — Spark API name
+        return Pi2SparkStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

@@ -184,6 +184,128 @@ def test_stream_rejects_rewrites_unless_ignored(ranged_table, spark, tmp_path):
     assert {r.id for r in rows} == set(range(400))
 
 
+def test_batch_write_append_roundtrip(ranged_table, spark):
+    """df.write append commits an atomic snapshot with stats + pruning
+    parity: the new rows prune like library-written ones."""
+    t = ranged_table
+    spark.range(50).select((F.col("id") + 20_000).alias("id"), F.lit(9).alias("v")).write.format(
+        "pi2spark"
+    ).mode("append").save(t.root)
+    df = spark.read.format("pi2spark").load(t.root)
+    assert df.count() == 450
+    # stats pruning covers the written files (manifest entries carry
+    # min/max computed in the write tasks)
+    opts = {"path": t.root, "partition_bytes": "1"}
+    from pyspark.sql.datasource import EqualTo
+
+    r = Pi2SparkBatchReader(opts)
+    r.pushFilters([EqualTo(("id",), 20_001)])
+    hit = [p for p in r.partitions() if p.paths]
+    assert all("dswrite" in p for part in hit for p in part.paths)
+
+
+def test_batch_write_overwrite_is_snapshot_atomic(ranged_table, spark):
+    t = ranged_table
+    old_snap = t.current_snapshot_id()
+    spark.range(7).select(F.col("id"), F.col("id").alias("v")).write.format(
+        "pi2spark"
+    ).mode("overwrite").save(t.root)
+    cur = spark.read.format("pi2spark").load(t.root)
+    assert cur.count() == 7
+    # replaced data remains time-travelable until expiry
+    pinned = spark.read.format("pi2spark").option("snapshot_id", old_snap).load(t.root)
+    assert pinned.count() == 400
+
+
+def test_write_refuses_plaintext_pii(spark, tmp_path):
+    plain = synthesize_source_files(spark, 20, seed=5, max_len=100)
+    reg = KeyRegistry()
+    reg.register_all(r.repo for r in plain.select("repo").distinct().collect())
+    keys = broadcast_keys(spark, reg.key_map())
+    from pi2spark.spec import annotate_schema
+
+    t = Table.create(
+        str(tmp_path / "prot"),
+        protection=annotate_schema(plain.schema, "repo", ["content"]),
+    )
+    t.append(encrypt_table(plain, SPEC, keys), spark)
+    register(spark)
+    with pytest.raises(Exception) as ei:
+        plain.write.format("pi2spark").mode("append").save(t.root)
+    assert "plaintext PII" in str(ei.value)
+    # encrypted frames pass; explicit opt-out passes
+    encrypt_table(plain, SPEC, keys).write.format("pi2spark").mode("append").save(t.root)
+    plain.write.format("pi2spark").mode("append").option(
+        "allow_plaintext_pii", "true"
+    ).save(t.root)
+    assert Table(t.root).snapshot().files
+
+
+def test_stream_write_exactly_once(ranged_table, spark, tmp_path):
+    """writeStream appends each micro-batch once; a second run over the
+    SAME checkpoint (same incarnation, replayed batch ids) commits
+    nothing new."""
+    t = ranged_table
+    src_ck, sink_ck = str(tmp_path / "src_ck"), str(tmp_path / "sink_ck")
+    out = Table.create(str(tmp_path / "out"))
+
+    def _pump():
+        q = (
+            spark.readStream.format("pi2spark")
+            .option("starting_snapshot_id", 0)
+            .load(t.root)
+            .writeStream.format("pi2spark")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", sink_ck)
+            .start(out.root)
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    _pump()
+    n1 = spark.read.format("pi2spark").load(out.root).count()
+    assert n1 == 400
+    snaps1 = len(Table(out.root).snapshots())
+    _pump()  # no new source data: no new commits
+    assert spark.read.format("pi2spark").load(out.root).count() == 400
+    assert len(Table(out.root).snapshots()) == snaps1
+    # new source data flows through end-to-end
+    t.append(
+        spark.range(30).select((F.col("id") + 40_000).alias("id"), F.lit(4).alias("v")),
+        spark,
+    )
+    _pump()
+    assert spark.read.format("pi2spark").load(out.root).count() == 430
+
+
+def test_stream_write_replayed_batch_discards_staged_files(ranged_table, spark, tmp_path):
+    """Simulate a replay: calling commit() twice for the same batch id
+    must commit once and delete the second attempt's staged files."""
+    import pyarrow as pa
+
+    from pi2spark.datasource import Pi2SparkStreamWriter
+
+    t = ranged_table
+    out = Table.create(str(tmp_path / "out2"))
+    opts = {"path": out.root, "sink_id": "replaytest"}
+    schema = spark.range(1).select(F.col("id")).schema
+
+    def _attempt():
+        w = Pi2SparkStreamWriter(opts, schema, overwrite=False)
+        msg = w.write(iter([pa.record_batch({"id": pa.array([1, 2, 3], pa.int64())})]))
+        w.commit([msg], 0)
+
+    _attempt()
+    _attempt()  # replay of batch 0 from a writer restart
+    assert len(Table(out.root).snapshots()) == 1
+    assert spark.read.format("pi2spark").load(out.root).count() == 3
+    # the replay's staged file is gone from disk
+    import glob
+
+    staged = glob.glob(os.path.join(out.root, "data", "dsstream-*", "*.parquet"))
+    assert len(staged) == 1
+
+
 def test_stream_detects_expired_history(ranged_table, spark, tmp_path):
     from pi2spark.maintenance import expire_snapshots
 
