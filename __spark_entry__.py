@@ -907,6 +907,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_datasource_roundtrip(spark, sf_dir):
+        """The vanilla-Spark interoperability surface end-to-end:
+        ``df.write.format("pi2spark")`` stages + atomically commits an
+        append snapshot (per-task stats/blooms, two-phase commit), then
+        ``spark.read.format("pi2spark")`` plans the scan through
+        pushFilters → manifest stats pruning and re-applies the filter
+        row-level. pi2spark/datasource.py (reader + writer)."""
+        from pi2spark.datasource import register
+        from pi2spark.table import Table
+
+        docs = _load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars", "text"
+        )
+        root = tempfile.mkdtemp(prefix="pi2spark-ds-")
+        Table.create(os.path.join(root, "tbl"), properties={"stats.columns": ["doc_id", "lang"]})
+        register(spark)
+        docs.repartitionByRange(4, "doc_id").write.format("pi2spark").mode(
+            "append"
+        ).save(os.path.join(root, "tbl"))
+        return (
+            spark.read.format("pi2spark")
+            .load(os.path.join(root, "tbl"))
+            .filter(F.col("lang") == "en")
+            .select("doc_id", "source", "n_chars", F.sha2("text", 256).alias("text_sha"))
+            .orderBy("doc_id")
+        )
+
     def q_minhash_dedup(spark, sf_dir):
         return minhash_lsh_pairs(
             _load(spark, sf_dir, "documents"), threshold=0.8, persist_sigs=_persist_sigs()
@@ -1103,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mirror": q_cdc_mirror,
         "snapshot_rollback": q_snapshot_rollback,
         "schema_evolution": q_schema_evolution,
+        "datasource_roundtrip": q_datasource_roundtrip,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "lsh_ann": q_lsh_ann,
@@ -1511,5 +1539,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, sha256(body) AS body_sha, note
             FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
             ORDER BY doc_id
+        """,
+        "datasource_roundtrip": """
+            SELECT doc_id, source, n_chars, sha256(text) AS text_sha
+            FROM documents WHERE lang = 'en' ORDER BY doc_id
         """,
     }
