@@ -479,6 +479,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token", F.col("cnt").cast("long").alias("cnt")
         )
 
+    def q_pack_sequences(spark, sf_dir):
+        """Concat-and-chunk sequence packing for LLM pretraining
+        (pi2spark.textops.pack_sequences): per-source document streams
+        sliced into 256-token context windows; each doc carries the
+        pack it starts in and its token offset — one partitioned
+        window, one shuffle."""
+        from pi2spark.textops import pack_sequences
+
+        return pack_sequences(_load(spark, sf_dir, "documents"), 256).orderBy(
+            "doc_id"
+        )
+
     def q_mixture_sample(spark, sf_dir):
         # deterministic training-mixture sampling (textops.mixture_
         # sample): per-source hash-bucket fractions, reproducible
@@ -1107,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "pii_scrub": q_pii_scrub,
         "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
         "repetition_scores": q_repetition_scores,
         "boilerplate_removal": q_boilerplate_removal,
         "vocab_topk": q_vocab_topk,
@@ -1260,6 +1273,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_scrub_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "pack_sequences": r"""
+            SELECT doc_id, source, ws_tokens,
+                   CAST(cum_before // 256 AS BIGINT) AS pack_id,
+                   CAST(cum_before % 256 AS BIGINT) AS token_offset
+            FROM (
+              SELECT doc_id, source,
+                     len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+                     COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM documents)
+            ORDER BY doc_id
+        """,
         "repetition_scores": """
             SELECT doc_id,
                    len(string_split(text, chr(10))) AS n_lines,

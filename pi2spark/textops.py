@@ -173,6 +173,93 @@ def mixture_sample(
     return df.filter(_sample_bucket(F.col(key_col), seed) < frac)
 
 
+def epoch_key(seed, id_col: F.Column | str = "doc_id") -> F.Column:
+    """Deterministic per-epoch shuffle key: ``md5(seed ~ id)``. Each
+    training epoch reorders the corpus by a fresh seed with zero RNG
+    state — reproducible across runs, engines, and partitionings. The
+    scalable idiom is ``df.repartitionByRange(N, epoch_key(seed))
+    .sortWithinPartitions(...)`` (a single range shuffle producing the
+    epoch's read order), never a global ``orderBy`` materialized to one
+    task."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat_ws("~", F.lit(str(seed)), col.cast("string")))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: tuple = ("source",),
+    order_col: str | None = None,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Concat-and-chunk pack assignment for LLM pretraining: documents
+    are conceptually concatenated in ``order_col`` order and sliced
+    into fixed ``budget_tokens`` context windows; each document is
+    assigned the pack where it STARTS (``pack_id = floor(tokens_before
+    / budget)``) and its ``token_offset`` within that pack — the
+    metadata a trainer's loader needs to materialize packed sequences
+    without a second global pass. Token counts are the whitespace
+    tokens of ``token_counts`` (swap in real tokenizer counts by
+    passing a precomputed column as ``text_col=None``-style upstream).
+
+    ``by`` packs each group as its own stream (the common per-source /
+    per-shard curriculum shape): one partitioned window, one shuffle,
+    audit-clean. ``by=()`` packs the WHOLE corpus as a single stream
+    without a global window: pass 1 aggregates token sums per
+    fixed-width ``order_col`` bucket (map-side combinable; the bucket
+    relation is metadata-sized — id_range / bucket_width rows), the
+    exclusive prefix over buckets is computed driver-side and
+    broadcast-joined back, and pass 2's window partitions by bucket —
+    at 100 TB every window partition is one bounded bucket, and the
+    result is deterministic in row CONTENT (unlike
+    ``spark_partition_id``-keyed cumsums, which change with layout).
+    """
+    order_col = order_col or id_col
+    tokens = F.size(F.split(F.trim(F.col(text_col)), _WS)).alias("ws_tokens")
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in by], F.col(order_col).alias("_ord"), tokens
+    )
+    if by:
+        w = (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy("_ord")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_before = F.coalesce(F.sum("ws_tokens").over(w), F.lit(0))
+    else:
+        bucket = F.floor(F.col("_ord") / bucket_width).alias("_bucket")
+        base = base.withColumn("_bucket", bucket)
+        per_bucket = (
+            base.groupBy("_bucket").agg(F.sum("ws_tokens").alias("_btoks"))
+        ).collect()  # bounded: one row per occupied id bucket (metadata-sized)
+        offs, run = {}, 0
+        for r in sorted(per_bucket, key=lambda r: r._bucket):
+            offs[r._bucket] = run
+            run += r._btoks
+        spark = df.sparkSession
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                [(int(b), int(o)) for b, o in offs.items()], "_bucket bigint, _boff bigint"
+            )
+        )
+        base = base.join(off_df, "_bucket")
+        w = (
+            Window.partitionBy("_bucket")
+            .orderBy("_ord")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_before = F.col("_boff") + F.coalesce(F.sum("ws_tokens").over(w), F.lit(0))
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in by],
+        F.col("ws_tokens"),
+        F.floor(cum_before / budget_tokens).cast("long").alias("pack_id"),
+        (cum_before % budget_tokens).cast("long").alias("token_offset"),
+    )
+
+
 # Credential/PII scrubbing patterns — conservative subsets valid in
 # BOTH Java regex (Spark) and RE2 (DuckDB), so the operator is
 # oracle-checkable cross-engine. The secret pattern is the AWS-style

@@ -253,3 +253,58 @@ def test_vocab_topk(spark):
     got = [(r.token, r.cnt) for r in vocab_topk(df, k=4).collect()]
     # count desc, token asc tiebreak
     assert got == [("the", 3), ("and", 2), ("cat", 2), ("!", 1)]
+
+
+def test_pack_sequences_grouped(spark, docs):
+    """Per-source streams: pack_id/token_offset follow the exclusive
+    running token sum in doc order, offsets stay under budget."""
+    from pi2spark.textops import pack_sequences
+
+    budget = 256
+    out = pack_sequences(docs, budget).cache()
+    assert out.count() == docs.count()
+    assert out.filter((F.col("token_offset") < 0) | (F.col("token_offset") >= budget)).count() == 0
+    # independent reference for one source
+    src = out.select("source").first().source
+    rows = sorted(
+        out.filter(F.col("source") == src).collect(), key=lambda r: r.doc_id
+    )
+    cum = 0
+    for r in rows:
+        assert r.pack_id == cum // budget, (r.doc_id, cum)
+        assert r.token_offset == cum % budget
+        cum += r.ws_tokens
+    out.unpersist()
+
+
+def test_pack_sequences_global_stream(spark, docs):
+    """by=(): one corpus-wide stream; the bucketed two-pass result must
+    equal the naive single-stream reference and be independent of
+    bucket_width and input partitioning."""
+    from pi2spark.textops import pack_sequences
+
+    budget = 512
+    ref_rows = sorted(
+        token_counts(docs).join(docs.select("doc_id"), "doc_id").collect(),
+        key=lambda r: r.doc_id,
+    )
+    cum, ref = 0, {}
+    for r in ref_rows:
+        ref[r.doc_id] = (cum // budget, cum % budget)
+        cum += r.ws_tokens
+
+    for width, df_in in ((64, docs), (1 << 20, docs.repartition(13))):
+        got = {
+            r.doc_id: (r.pack_id, r.token_offset)
+            for r in pack_sequences(df_in, budget, by=(), bucket_width=width).collect()
+        }
+        assert got == ref, f"width={width}"
+
+
+def test_epoch_key_deterministic_and_seed_sensitive(spark, docs):
+    from pi2spark.textops import epoch_key
+
+    a = [r.k for r in docs.select(epoch_key(1).alias("k")).orderBy("k").limit(5).collect()]
+    b = [r.k for r in docs.select(epoch_key(1).alias("k")).orderBy("k").limit(5).collect()]
+    c = [r.k for r in docs.select(epoch_key(2).alias("k")).orderBy("k").limit(5).collect()]
+    assert a == b and a != c
