@@ -402,6 +402,7 @@ def cluster(
     incremental: bool = False,
     boundaries_from_stats: bool = True,
     merge_if_sorted: bool = True,
+    max_replans: int = 3,
 ) -> PassResult:
     """Clustering rewrite on the space-filling-curve key.
 
@@ -428,6 +429,24 @@ def cluster(
     if ledger.committed:
         return PassResult(curve, pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True)
 
+    def _attempt(attempt: int, prefix: str):
+        return _cluster_attempt(
+            table, spark, columns, curve, bits, target_file_bytes, pass_id,
+            sample_rows, incremental, boundaries_from_stats, merge_if_sorted,
+            ledger, t0, attempt, prefix,
+        )
+
+    return _run_with_replans(table, ledger, curve, max_replans, _attempt)
+
+
+def _cluster_attempt(
+    table, spark, columns, curve, bits, target_file_bytes, pass_id,
+    sample_rows, incremental, boundaries_from_stats, merge_if_sorted,
+    ledger, t0, attempt, prefix,
+):
+    """One re-plannable clustering attempt over the CURRENT snapshot
+    (the conflict re-planning protocol — see ``_run_with_replans``).
+    Returns a skip ``PassResult`` or the protocol's commit tuple."""
     snap = table.snapshot()
     in_files = snap.files
     if incremental:
@@ -485,7 +504,7 @@ def cluster(
                     wave_packs.append([])
                 wave_packs[-1].append(pack)
             for w, wpacks in enumerate(wave_packs):
-                task_id = f"merge-w{w:05d}"
+                task_id = f"{prefix}merge-w{w:05d}"
                 prior = ledger.task_result(task_id)
                 if prior:
                     added.extend(DataFile.from_json(d) for d in prior["outputs"])
@@ -521,34 +540,34 @@ def cluster(
                 )
                 added.extend(wave_added)
                 removed.extend(wave_removed)
-            new_snap = table.commit(
-                curve,
-                added=added,
-                removed_paths=removed,
-                summary={
-                    "pass_id": pass_id,
-                    "cluster_columns": list(columns),
-                    "curve": curve,
-                    "bits": bits,
-                    "mode": "merge",
-                    # a merge re-packs existing keys: the boundary
-                    # generation is inherited unchanged
-                    "zkey_gen": zgen,
-                },
-            )
-            ledger.record_commit(new_snap.snapshot_id)
-            return PassResult(
-                curve,
-                pass_id,
-                new_snap.snapshot_id,
-                rewritten_files=len(in_files),
-                added_files=len(added),
-                rewritten_bytes=total_bytes,
-                seconds=time.time() - t0,
-                details={"mode": "merge-no-shuffle", "n_files": len(added)},
-            )
+            summary = {
+                "pass_id": pass_id,
+                "cluster_columns": list(columns),
+                "curve": curve,
+                "bits": bits,
+                "mode": "merge",
+                # a merge re-packs existing keys: the boundary
+                # generation is inherited unchanged
+                "zkey_gen": zgen,
+                "replans": attempt,
+            }
 
-    task_id = "rewrite"
+            def finish_merge(new_snap):
+                ledger.record_commit(new_snap.snapshot_id)
+                return PassResult(
+                    curve,
+                    pass_id,
+                    new_snap.snapshot_id,
+                    rewritten_files=len(in_files),
+                    added_files=len(added),
+                    rewritten_bytes=total_bytes,
+                    seconds=time.time() - t0,
+                    details={"mode": "merge-no-shuffle", "n_files": len(added), "replans": attempt},
+                )
+
+            return added, removed, summary, finish_merge
+
+    task_id = f"{prefix}rewrite"
     prior = ledger.task_result(task_id)
     if prior:
         added = [DataFile.from_json(d) for d in prior["outputs"]]
@@ -627,26 +646,25 @@ def cluster(
         "curve": curve,
         "bits": bits,
         "incremental": incremental,
+        "replans": attempt,
     }
     if is_full:
         summ["zkey_gen"] = pass_id
-    new_snap = table.commit(
-        curve,
-        added=added,
-        removed_paths=[f.path for f in in_files],
-        summary=summ,
-    )
-    ledger.record_commit(new_snap.snapshot_id)
-    return PassResult(
-        curve,
-        pass_id,
-        new_snap.snapshot_id,
-        rewritten_files=len(in_files),
-        added_files=len(added),
-        rewritten_bytes=total_bytes,
-        seconds=time.time() - t0,
-        details={"n_files": n_files, "incremental": incremental},
-    )
+
+    def finish_rewrite(new_snap):
+        ledger.record_commit(new_snap.snapshot_id)
+        return PassResult(
+            curve,
+            pass_id,
+            new_snap.snapshot_id,
+            rewritten_files=len(in_files),
+            added_files=len(added),
+            rewritten_bytes=total_bytes,
+            seconds=time.time() - t0,
+            details={"n_files": n_files, "incremental": incremental, "replans": attempt},
+        )
+
+    return added, [f.path for f in in_files], summ, finish_rewrite
 
 
 # ---------------------------------------------------------------------------

@@ -284,6 +284,63 @@ def test_racing_compact_and_shred_both_commit(spark, tmp_path, monkeypatch):
     assert content_digest(scan) == expected
 
 
+def test_racing_cluster_and_shred_both_commit(spark, tmp_path, monkeypatch):
+    """cluster() joins the conflict re-planning protocol: a shred that
+    wins the commit race while a full clustering is mid-flight rewrites
+    the clustering's inputs; the clustering must re-plan from the fresh
+    (post-shred) snapshot so both passes commit and the victim stays
+    tombstoned inside the re-clustered files."""
+    import pi2spark.maintenance as M
+    from pi2spark.verify import content_digest
+
+    plain = synthesize_source_files(spark, 500, seed=71, partitions=6, max_len=800).cache()
+    reg = KeyRegistry(str(tmp_path / "kms.jsonl"))
+    reg.register_from_df(plain.select("repo").distinct())
+    keys = broadcast_keys(spark, reg.key_map())
+    t = Table.create(
+        str(tmp_path / "tbl"),
+        properties={"stats.columns": ["repo", "lang", "path", "zkey"]},
+    )
+    t.append(encrypt_table(plain, SPEC, keys), spark)
+    victim = plain.agg(F.min("repo")).first()[0]
+    expected = content_digest(
+        plain.withColumn("shredded", F.col("repo") == victim)
+        .withColumn("content", F.when(F.col("repo") == victim, F.lit(None)).otherwise(F.col("content")))
+    )
+    plain.unpersist()
+    reg.forget(victim)
+
+    # deterministic race: after the clustering attempt writes its
+    # output files (planned against the parent snapshot) but BEFORE it
+    # commits, the shred wins and rewrites some of its input files
+    orig_wf = Table.write_files
+    state = {"fired": False}
+
+    def hooked(self, df, spark_, tag, stat_cols=None):
+        files = orig_wf(self, df, spark_, tag, stat_cols=stat_cols)
+        if tag.startswith("morton-race-cluster") and not state["fired"]:
+            state["fired"] = True
+            win = M.shred(self, spark_, [victim], pass_id="race-shred2")
+            assert not win.skipped
+        return files
+
+    monkeypatch.setattr(Table, "write_files", hooked)
+    res = M.cluster(t, spark, pass_id="race-cluster", target_file_bytes=1 << 20)
+    assert not res.skipped
+    assert res.details["replans"] == 1
+
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops == ["append", "shred", "morton"]
+    keys2 = broadcast_keys(spark, reg.key_map())
+    scan = decrypt_table(t.scan(spark), SPEC, keys2)
+    assert scan.filter((F.col("repo") == victim) & ~F.col("shredded")).count() == 0
+    assert scan.filter((F.col("repo") == victim) & F.col("content").isNotNull()).count() == 0
+    assert content_digest(scan) == expected
+    # the re-planned full clustering still minted a boundary generation
+    summ = t.snapshots()[-1]["summary"]
+    assert summ.get("zkey_gen") == "race-cluster" and summ["replans"] == 1
+
+
 def test_distributed_expiry_matches_driver_path(spark, tmp_path):
     """VERDICT r4 'What's missing' #2: above a file-count threshold the
     expiry refcount runs as a Spark anti-join over manifest rows and
