@@ -98,8 +98,18 @@ def _load_table(options) -> "Table":
     if not path:
         raise Pi2SparkError(
             "pi2spark source needs a table root: .load('/path/to/table') "
-            "or .option('path', ...)"
+            "or .option('path', ...). Note: catalog tables (CREATE TABLE "
+            "... USING pi2spark) are not supported — Spark 4.1 does not "
+            "forward a catalog table's options to Python data source "
+            "reads; use spark.read.format('pi2spark').load(root)"
+            ".createOrReplaceTempView(...) as the SQL surface"
         )
+    # SQL DDL (CREATE TABLE ... USING pi2spark) qualifies the location
+    # to a URI (file:/x or file:///x) before handing it to the source
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        path = urlparse(path).path or path[len("file:"):]
     return Table(path)
 
 
@@ -111,7 +121,9 @@ def _logical_schema(table: "Table") -> StructType:
     against the source schema at planning time."""
     base = table.data_schema()
     if base is None:
-        raise Pi2SparkError("table has no persisted schema yet (no writes)")
+        raise Pi2SparkError(
+            f"table at {table.root!r} has no persisted schema yet (no writes)"
+        )
     fields = list(base.fields)
 
     def _find(name):

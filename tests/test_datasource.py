@@ -331,3 +331,16 @@ def test_stream_detects_expired_history(ranged_table, spark, tmp_path):
     err = err or q.exception()
     assert err is not None
     assert "not contiguous" in str(err) or "expired" in str(err)
+
+
+def test_file_uri_and_sql_view_surface(ranged_table, spark):
+    """file: URIs normalize (SQL DDL hands qualified URIs to sources),
+    and a registered temp view is the pure-SQL query surface."""
+    t = ranged_table
+    df = spark.read.format("pi2spark").load(f"file://{t.root}")
+    assert df.count() == 400
+    df.createOrReplaceTempView("ds_sql_view")
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(v) AS s FROM ds_sql_view WHERE id < 10"
+    ).first()
+    assert (got.n, got.s) == (10, sum(i * 2 for i in range(10)))
