@@ -488,6 +488,36 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    sdf: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication at ingest — the streaming twin of
+    ``textops.exact_dedup``: only the FIRST occurrence of each content
+    hash survives, across micro-batches and restarts (the dedup state
+    lives in the streaming checkpoint). Expressed through Spark's
+    built-in ``dropDuplicates`` stateful operator, not a custom UDF —
+    Catalyst keeps the hash comparison JVM-side and the state store
+    holds one compact key per distinct hash.
+
+    State grows with DISTINCT content. At corpus scale, pass
+    ``ts_col`` + ``watermark`` to switch to
+    ``dropDuplicatesWithinWatermark``: state is evicted past the
+    horizon, bounding it to the duplicate-arrival window (ingest
+    duplicates cluster in time — retries, crawler re-fetches; the
+    long-tail cross-epoch duplicates are the batch pass's job)."""
+    hashed = sdf.withColumn("content_hash", F.md5(F.col(text_col)))
+    if watermark and ts_col:
+        # watermarks require TIMESTAMP (not NTZ) event time
+        hashed = hashed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return hashed.dropDuplicates(["content_hash"])
+
+
 def hourly_rollup_stream(
     events: DataFrame,
     ts_col: str = "ts",

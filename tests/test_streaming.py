@@ -379,3 +379,66 @@ def test_fresh_checkpoint_restarts_batch_ids_without_data_loss(spark, tmp_path):
         if STREAM_QUERY_KEY in s.get("summary", {})
     }
     assert len(qkeys) == 2 and all(k.startswith("same-name#") for k in qkeys)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Streaming exact dedup: first occurrence of each content hash
+    survives; duplicates arriving in LATER micro-batches are dropped
+    (dedup state persists in the checkpoint across batches)."""
+    from pi2spark.streaming import dedup_stream
+
+    src = str(tmp_path / "src")
+    # batch 1: a,b,a (in-batch dup); batch 2: b (cross-batch dup), c
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rows: list = []
+    q = (
+        dedup_stream(sdf)
+        .writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    texts = sorted(r.text for r in rows)
+    assert texts == ["alpha", "beta", "gamma"]
+    # content_hash column materialized for downstream keeper logic
+    assert all(len(r.content_hash) == 32 for r in rows)
+
+
+def test_dedup_stream_watermarked_form_runs(spark, tmp_path):
+    """The bounded-state form (dropDuplicatesWithinWatermark) dedups
+    within the horizon."""
+    from pi2spark.streaming import dedup_stream
+
+    src = str(tmp_path / "srcw")
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'x', TIMESTAMP_NTZ'2024-01-01 00:00:00'),"
+        "(2, 'x', TIMESTAMP_NTZ'2024-01-01 00:10:00'),"
+        "(3, 'y', TIMESTAMP_NTZ'2024-01-01 00:20:00')"
+        " AS t(doc_id, text, ts)"
+    ).coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string, ts timestamp_ntz").parquet(src)
+    rows: list = []
+    q = (
+        dedup_stream(sdf, ts_col="ts", watermark="1 hour")
+        .writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckw"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    assert sorted(r.text for r in rows) == ["x", "y"]
