@@ -182,20 +182,18 @@ def _ddl_field(name: str, ddl: str):
 
 
 def _pack_partitions(table: "Table", files, partition_bytes: int) -> list[_FilesPartition]:
+    from pi2spark.table import pack_consecutive
+
     schema_json = _logical_schema(table).json()
     ops_json = json.dumps(table.schema_ops())
-    parts: list[_FilesPartition] = []
-    cur: list[str] = []
-    cur_bytes = 0
-    for f in sorted(files, key=lambda f: f.path):
-        if cur and cur_bytes + f.bytes > partition_bytes:
-            parts.append(_FilesPartition(table.root, tuple(cur), schema_json, ops_json))
-            cur, cur_bytes = [], 0
-        cur.append(f.path)
-        cur_bytes += f.bytes
-    if cur:
-        parts.append(_FilesPartition(table.root, tuple(cur), schema_json, ops_json))
-    return parts
+    return [
+        _FilesPartition(
+            table.root, tuple(f.path for f in pack), schema_json, ops_json
+        )
+        for pack in pack_consecutive(
+            sorted(files, key=lambda f: f.path), partition_bytes
+        )
+    ]
 
 
 def _read_partition(part: _FilesPartition) -> Iterator:
@@ -209,20 +207,25 @@ def _read_partition(part: _FilesPartition) -> Iterator:
     schema = StructType.fromJson(json.loads(part.schema_json))
     ops = json.loads(part.ops_json)
     target = to_arrow_schema(schema)
+    def _name_chain(logical: str) -> list[str]:
+        # a renamed logical column may exist under ANY of its prior
+        # physical names (a→b→c leaves files carrying a, b, or c):
+        # walk the rename ops newest-first, unwinding one hop each —
+        # the transitive mirror of apply_schema_ops' in-order coalesce
+        chain = [logical]
+        for op in reversed(ops):
+            if op.get("op") == "rename" and op["to"] == chain[-1]:
+                chain.append(op["from"])
+        return chain
+
     for rel in part.paths:
         at = pq.read_table(os.path.join(part.root, rel))
         cols = []
         for field in target:
-            # a renamed logical column may exist under its old
-            # physical name in pre-rename files
-            src = field.name
-            if src not in at.column_names:
-                for op in ops:
-                    if op.get("op") == "rename" and op["to"] == field.name:
-                        if op["from"] in at.column_names:
-                            src = op["from"]
-                            break
-            if src in at.column_names:
+            src = next(
+                (n for n in _name_chain(field.name) if n in at.column_names), None
+            )
+            if src is not None:
                 cols.append(at[src].cast(field.type))
             else:
                 cols.append(pa.nulls(len(at), field.type))
@@ -310,6 +313,8 @@ class Pi2SparkStreamReader(DataSourceStreamReader):
         return {"snapshot_id": int(cur or 0)}
 
     def partitions(self, start, end):
+        from pi2spark.table import DataFile
+
         lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
         if hi <= lo:
             return [self._empty_partition()]
@@ -340,11 +345,18 @@ class Pi2SparkStreamReader(DataSourceStreamReader):
                     f"{s['snapshot_id']} (parent {s.get('parent_id')}, expected "
                     f"{prev_id}) — an intermediate snapshot was expired"
                 )
-            cur_paths = self._table.manifest_data_paths(s)
+            # ONE manifest listing per snapshot serves both the path-set
+            # diff and the DataFile entries (at 10^6-file scale the plan
+            # cost is this listing — don't pay it twice)
+            entries = self._table._manifest_entries(s)
+            cur_paths = {d["path"] for d in entries}
             if s["operation"] == "append":
-                added = sorted(cur_paths - prev_paths)
-                by_path = {f.path: f for f in self._table.snapshot(s["snapshot_id"]).files}
-                new_files.extend(by_path[p] for p in added if p in by_path)
+                added = set(cur_paths) - prev_paths
+                new_files.extend(
+                    DataFile.from_json(d)
+                    for d in sorted(entries, key=lambda d: d["path"])
+                    if d["path"] in added
+                )
             elif not self._ignore_changes:
                 raise Pi2SparkError(
                     f"snapshot {s['snapshot_id']} is a non-append change "
@@ -512,15 +524,31 @@ class Pi2SparkBatchWriter(DataSourceArrowWriter):
 
         table = Table(self._root)
         added = _datafiles_from_messages(messages)
+        # schema persists BEFORE the snapshot commit — deliberately, and
+        # same ordering as Table.write_files: if the commit then fails,
+        # the union schema at worst carries a column no data file has
+        # (reads materialize NULLs — benign); the opposite order risks a
+        # crash window where COMMITTED files carry a column the persisted
+        # schema lacks, hiding real data from every schema-applied scan.
         table._persist_schema(StructType.fromJson(json.loads(self._schema_json)))
         if self._overwrite:
             # the removal set must match the version the commit lands
-            # on — recompute it on every optimistic retry
+            # on: pin each attempt to the version it planned from
+            # (expected_version), or a concurrent append landing between
+            # plan and commit would survive the overwrite — the commit's
+            # internal check only errors on MISSING removals, not on a
+            # parent that gained files. Recompute on every retry.
             for attempt in range(5):
+                version = table.current_version()
                 snap = table.snapshot() if table.current_snapshot_id() else None
                 removed = [f.path for f in snap.files] if snap else []
                 try:
-                    table.commit("overwrite", added=added, removed_paths=removed)
+                    table.commit(
+                        "overwrite",
+                        added=added,
+                        removed_paths=removed,
+                        expected_version=version,
+                    )
                     return
                 except ConcurrentCommitError:
                     if attempt == 4:
@@ -585,6 +613,7 @@ class Pi2SparkStreamWriter(DataSourceStreamArrowWriter):
             self._files.delete_staged(messages)
             return
         added = _datafiles_from_messages(messages)
+        # persist-before-commit: see Pi2SparkBatchWriter.commit
         table._persist_schema(StructType.fromJson(json.loads(self._schema_json)))
         table.commit_with_retry(
             "append",

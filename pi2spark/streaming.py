@@ -53,16 +53,29 @@ def _stream_incarnation(checkpoint_dir: str) -> str:
     behavior only if the metadata file is unreadable (or the sink runs
     with no checkpoint at all — e.g. forget_stream's default, where
     Spark uses a throwaway temp checkpoint)."""
+    import hashlib as _hashlib
     import json as _json
     import os as _os
 
     if not checkpoint_dir:
         return "nometa"
+    path = checkpoint_dir
+    if path.startswith("file:"):
+        # option("checkpointLocation", "file:/...") — Spark accepts the
+        # URI form; normalize it or the metadata read below fails and
+        # every file:-checkpointed stream would share one fallback key
+        from urllib.parse import urlparse
+
+        path = urlparse(path).path or path[len("file:"):]
     try:
-        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+        with open(_os.path.join(path, "metadata")) as fh:
             return str(_json.load(fh)["id"])[:8]
     except (OSError, KeyError, ValueError):
-        return "nometa"
+        # unreadable metadata for a NAMED checkpoint: key by the path
+        # itself so two different checkpoints can never collide into a
+        # shared guard (a shared key would classify a fresh stream's
+        # batches as replays of the old one and silently drop them)
+        return "ck" + _hashlib.md5(path.encode()).hexdigest()[:8]
 
 
 def encrypt_stream(sdf: DataFrame, spec: ProtectionSpec, keys) -> DataFrame:
@@ -508,7 +521,9 @@ def dedup_stream(
     horizon, bounding it to the duplicate-arrival window (ingest
     duplicates cluster in time — retries, crawler re-fetches; the
     long-tail cross-epoch duplicates are the batch pass's job)."""
-    hashed = sdf.withColumn("content_hash", F.md5(F.col(text_col)))
+    from pi2spark.textops import content_hash
+
+    hashed = sdf.withColumn("content_hash", content_hash(text_col))
     if watermark and ts_col:
         # watermarks require TIMESTAMP (not NTZ) event time
         hashed = hashed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))

@@ -229,11 +229,27 @@ def pack_sequences(
         )
         cum_before = F.coalesce(F.sum("ws_tokens").over(w), F.lit(0))
     else:
+        from pyspark.sql.types import NumericType
+
+        ord_type = df.schema[order_col].dataType
+        if not isinstance(ord_type, NumericType):
+            raise ValueError(
+                f"pack_sequences(by=()) needs a NUMERIC order column to "
+                f"derive its fixed-width buckets; {order_col!r} is "
+                f"{ord_type.simpleString()} — rank-encode it first or "
+                "pack per group (by=...)"
+            )
         bucket = F.floor(F.col("_ord") / bucket_width).alias("_bucket")
         base = base.withColumn("_bucket", bucket)
         per_bucket = (
             base.groupBy("_bucket").agg(F.sum("ws_tokens").alias("_btoks"))
         ).collect()  # bounded: one row per occupied id bucket (metadata-sized)
+        if any(r._bucket is None for r in per_bucket):
+            raise ValueError(
+                f"pack_sequences(by=()): order column {order_col!r} "
+                "contains NULLs — every row needs a position in the "
+                "stream"
+            )
         offs, run = {}, 0
         for r in sorted(per_bucket, key=lambda r: r._bucket):
             offs[r._bucket] = run
@@ -414,14 +430,21 @@ def vocab_topk(
 # ---------------------------------------------------------------------------
 
 
+def content_hash(text_col: str = "text") -> F.Column:
+    """Normalized content hash (lowercase, whitespace collapsed) —
+    the ONE definition of "duplicate content", shared by the batch
+    ``exact_dedup`` and the streaming ``dedup_stream`` so a corpus
+    deduped at ingest and audited by the batch pass agree."""
+    return F.md5(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via hash-groupBy on normalized content: one group
     per distinct text, keeper = min id. Map-side partial aggregation
     applies; at scale the groupBy key is the md5 (fixed width), not
     the raw text."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), _WS, " ")
     return (
-        df.select(F.md5(norm).alias("content_hash"), F.col(id_col))
+        df.select(content_hash(text_col).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )

@@ -201,6 +201,7 @@ def test_batch_write_append_roundtrip(ranged_table, spark):
     r = Pi2SparkBatchReader(opts)
     r.pushFilters([EqualTo(("id",), 20_001)])
     hit = [p for p in r.partitions() if p.paths]
+    assert len(hit) == 1  # not vacuous: exactly one file may hold the id
     assert all("dswrite" in p for part in hit for p in part.paths)
 
 
@@ -344,3 +345,55 @@ def test_file_uri_and_sql_view_surface(ranged_table, spark):
         "SELECT count(*) AS n, sum(v) AS s FROM ds_sql_view WHERE id < 10"
     ).first()
     assert (got.n, got.s) == (10, sum(i * 2 for i in range(10)))
+
+
+def test_chained_rename_reads_pre_rename_files(ranged_table, spark):
+    """a→b→c: files written before the FIRST rename must still surface
+    their data under the final logical name (transitive resolution)."""
+    t = ranged_table  # column 'v'
+    t.rename_column("v", "value")
+    t.rename_column("value", "val")
+    df = spark.read.format("pi2spark").load(t.root)
+    assert set(df.columns) == {"id", "val"}
+    row = df.filter(F.col("id") == 9).first()
+    assert row.val == 18  # real data, not NULL
+
+
+def test_overwrite_removes_concurrently_appended_files(ranged_table, spark):
+    """An append landing between the overwrite's task writes and its
+    commit must not survive: the removal set is recomputed against the
+    version each commit attempt is pinned to."""
+    import pyarrow as pa
+
+    from pi2spark.datasource import Pi2SparkBatchWriter
+
+    t = ranged_table
+    schema = spark.range(1).select(F.col("id"), F.col("id").alias("v")).schema
+    w = Pi2SparkBatchWriter({"path": t.root}, schema, overwrite=True)
+    msg = w.write(
+        iter([pa.record_batch({"id": pa.array([1], pa.int64()), "v": pa.array([2], pa.int64())})])
+    )
+    # concurrent append AFTER the overwrite's data is staged
+    t.append(spark.range(3).select((F.col("id") + 777_000).alias("id"), F.lit(0).alias("v")), spark)
+    w.commit([msg])
+    final = spark.read.format("pi2spark").load(t.root)
+    assert final.count() == 1
+    assert final.first().id == 1
+
+
+def test_stream_incarnation_uri_and_fallback_uniqueness(tmp_path):
+    import json as _json
+
+    from pi2spark.streaming import _stream_incarnation
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "metadata").write_text(_json.dumps({"id": "abcdef12-3456"}))
+    # plain path and file: URI resolve to the same incarnation
+    assert _stream_incarnation(str(ck)) == "abcdef12"
+    assert _stream_incarnation(f"file:{ck}") == "abcdef12"
+    # unreadable checkpoints never share a fallback key
+    a = _stream_incarnation("/nonexistent/ckA")
+    b = _stream_incarnation("/nonexistent/ckB")
+    assert a != b and a == _stream_incarnation("/nonexistent/ckA")
+    assert _stream_incarnation("") == "nometa"

@@ -308,3 +308,18 @@ def test_epoch_key_deterministic_and_seed_sensitive(spark, docs):
     b = [r.k for r in docs.select(epoch_key(1).alias("k")).orderBy("k").limit(5).collect()]
     c = [r.k for r in docs.select(epoch_key(2).alias("k")).orderBy("k").limit(5).collect()]
     assert a == b and a != c
+
+
+def test_pack_sequences_global_rejects_bad_order_col(spark):
+    from pi2spark.textops import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", "x y", "s1"), ("b", "z", "s1")], "path string, text string, source string"
+    )
+    with pytest.raises(ValueError, match="NUMERIC order column"):
+        pack_sequences(df, 16, id_col="path", by=(), order_col="path")
+    nulls = spark.createDataFrame(
+        [(1, "x y", "s1"), (None, "z", "s1")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pack_sequences(nulls, 16, by=())
