@@ -59,7 +59,8 @@ def _spark(args):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pi2spark", description=__doc__)
     p.add_argument("command", choices=[
-        "init", "ingest", "compact", "cluster", "shred", "rotate", "expire", "orphans", "verify", "status"
+        "init", "ingest", "compact", "cluster", "shred", "rotate", "expire",
+        "orphans", "verify", "status", "maintain",
     ])
     p.add_argument("--table", required=True, help="table root directory")
     p.add_argument("--registry", help="KMS command-log path (default <table>/../kms.jsonl)")
@@ -154,6 +155,22 @@ def main(argv=None) -> int:
             )
         snap = t.append(encrypt_table(plain, spec, keys), spark)
         out.update({"snapshot_id": snap.snapshot_id, "rows": snap.summary["total-rows"]})
+    elif args.command == "maintain":
+        # one steady-state cycle — the idempotent unit a scheduler
+        # (cron/Airflow) runs continuously; clustering params default
+        # to the table's own layout provenance, so no layout flags are
+        # needed (or wanted) here
+        from pi2spark.maintenance import maintain
+
+        res = maintain(
+            t, spark, target_file_bytes=target, keep_last_snapshots=args.keep_last
+        )
+        out.update(
+            {
+                k: (v.__dict__ | {"details": v.details} if hasattr(v, "details") else v)
+                for k, v in res.items()
+            }
+        )
     elif args.command == "compact":
         from pi2spark.maintenance import compact
 

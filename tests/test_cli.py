@@ -59,6 +59,16 @@ def test_cli_lifecycle(tmp_path, capsys, spark):
     r = _run(capsys, "orphans", *common, "--older-than-hours", "1")
     assert r["deleted"] == 0
 
+    # steady-state scheduler unit: append churn, then one maintain
+    # cycle — it must pick up clustering params from the table's own
+    # provenance (bits=12 above), not module defaults, and the scan
+    # must be unchanged
+    _run(capsys, "ingest", *common, "--rows", "300", "--seed", "9")
+    m = _run(capsys, "maintain", *common, "--target-file-mb", "1", "--keep-last", "2")
+    assert "cluster" in m or "compact" in m or "expire" in m
+    v4 = _run(capsys, "verify", *common)
+    assert v4["rows"] == 1400
+
     s = _run(capsys, "status", *common)
     assert s["current_snapshot_id"] >= 4
 
