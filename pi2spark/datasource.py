@@ -113,12 +113,20 @@ def _load_table(options) -> "Table":
     return Table(path)
 
 
-def _logical_schema(table: "Table") -> StructType:
+def _logical_schema(table: "Table", columns: str | None = None) -> StructType:
     """The table's logical schema as a StructType, computed from
     metadata only (no Spark job, no JVM): physical union schema with
     evolution ops replayed. Add-ops carry Spark DDL type strings;
     primitives are resolved here, and Spark re-validates the result
-    against the source schema at planning time."""
+    against the source schema at planning time.
+
+    ``columns`` (comma-separated) projects the schema — Spark 4.1's
+    Python source API has no pruneColumns hook, so
+    ``option("columns", "a,b")`` is this source's projection pushdown:
+    ``schema()`` and the readers honor it consistently, and the
+    executor-side parquet reads then touch ONLY those columns' pages
+    (plus whatever a pushed filter needs is re-applied by Spark on the
+    projected rows, so filters must reference selected columns)."""
     base = table.data_schema()
     if base is None:
         raise Pi2SparkError(
@@ -147,6 +155,16 @@ def _logical_schema(table: "Table") -> StructType:
             i = _find(op["name"])
             if i >= 0:
                 fields.pop(i)
+    if columns:
+        want = [c.strip() for c in columns.split(",") if c.strip()]
+        by_name = {f.name: f for f in fields}
+        missing = [c for c in want if c not in by_name]
+        if missing:
+            raise Pi2SparkError(
+                f"option('columns', ...) names unknown column(s) {missing}; "
+                f"table has {sorted(by_name)}"
+            )
+        fields = [by_name[c] for c in want]
     return StructType(fields)
 
 
@@ -181,10 +199,12 @@ def _ddl_field(name: str, ddl: str):
     return T.StructField(name, dt, True)
 
 
-def _pack_partitions(table: "Table", files, partition_bytes: int) -> list[_FilesPartition]:
+def _pack_partitions(
+    table: "Table", files, partition_bytes: int, columns: str | None = None
+) -> list[_FilesPartition]:
     from pi2spark.table import pack_consecutive
 
-    schema_json = _logical_schema(table).json()
+    schema_json = _logical_schema(table, columns).json()
     ops_json = json.dumps(table.schema_ops())
     return [
         _FilesPartition(
@@ -219,16 +239,32 @@ def _read_partition(part: _FilesPartition) -> Iterator:
         return chain
 
     for rel in part.paths:
-        at = pq.read_table(os.path.join(part.root, rel))
+        path = os.path.join(part.root, rel)
+        # resolve each logical column to the physical name this file
+        # carries, then read ONLY those columns (footer-level
+        # projection: untouched columns' pages are never decoded —
+        # this is where the `columns` option's pushdown pays off, and
+        # dropped/renamed-away physical columns are never read at all)
+        physical = set(pq.read_schema(path).names)
+        srcs = {
+            field.name: next(
+                (n for n in _name_chain(field.name) if n in physical), None
+            )
+            for field in target
+        }
+        read_cols = sorted({s for s in srcs.values() if s is not None})
+        if read_cols:
+            at = pq.read_table(path, columns=read_cols)
+            n = at.num_rows
+        else:  # no logical column exists physically: row count only
+            at, n = None, pq.ParquetFile(path).metadata.num_rows
         cols = []
         for field in target:
-            src = next(
-                (n for n in _name_chain(field.name) if n in at.column_names), None
-            )
+            src = srcs[field.name]
             if src is not None:
                 cols.append(at[src].cast(field.type))
             else:
-                cols.append(pa.nulls(len(at), field.type))
+                cols.append(pa.nulls(n, field.type))
         yield from pa.table(cols, schema=target).to_batches()
 
 
@@ -278,10 +314,11 @@ class Pi2SparkBatchReader(DataSourceReader):
             int(snap_opt) if snap_opt is not None else None, self._preds
         )
         pb = int(self._options.get("partition_bytes", DEFAULT_PARTITION_BYTES))
-        parts = _pack_partitions(table, files, pb)
+        cols = self._options.get("columns")
+        parts = _pack_partitions(table, files, pb, cols)
         # Spark requires at least one partition even for an empty plan
         return parts or [
-            _FilesPartition(table.root, (), _logical_schema(table).json(), "[]")
+            _FilesPartition(table.root, (), _logical_schema(table, cols).json(), "[]")
         ]
 
     def read(self, partition):
@@ -366,12 +403,15 @@ class Pi2SparkStreamReader(DataSourceStreamReader):
                 )
             prev_paths, prev_id = cur_paths, s["snapshot_id"]
         pb = int(self._options.get("partition_bytes", DEFAULT_PARTITION_BYTES))
-        parts = _pack_partitions(self._table, new_files, pb)
+        parts = _pack_partitions(self._table, new_files, pb, self._options.get("columns"))
         return parts or [self._empty_partition()]
 
     def _empty_partition(self):
         return _FilesPartition(
-            self._table.root, (), _logical_schema(self._table).json(), "[]"
+            self._table.root,
+            (),
+            _logical_schema(self._table, self._options.get("columns")).json(),
+            "[]",
         )
 
     def read(self, partition):
@@ -636,7 +676,7 @@ class Pi2SparkDataSource(DataSource):
         return "pi2spark"
 
     def schema(self):
-        return _logical_schema(_load_table(self.options))
+        return _logical_schema(_load_table(self.options), self.options.get("columns"))
 
     def reader(self, schema):
         return Pi2SparkBatchReader(self.options)

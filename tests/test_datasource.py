@@ -397,3 +397,20 @@ def test_stream_incarnation_uri_and_fallback_uniqueness(tmp_path):
     b = _stream_incarnation("/nonexistent/ckB")
     assert a != b and a == _stream_incarnation("/nonexistent/ckA")
     assert _stream_incarnation("") == "nometa"
+
+
+def test_columns_option_projection_pushdown(ranged_table, spark):
+    """option('columns', ...) projects the schema AND the executor-side
+    parquet reads (the source's projection pushdown until Spark grows a
+    pruneColumns hook); unknown names fail loudly."""
+    t = ranged_table
+    df = spark.read.format("pi2spark").option("columns", "v").load(t.root)
+    assert df.columns == ["v"]
+    assert df.count() == 400
+    assert df.agg(F.sum("v")).first()[0] == sum(i * 2 for i in range(400))
+    # dropped column: physically present but never read, row count holds
+    t.drop_column("v")
+    only_id = spark.read.format("pi2spark").load(t.root)
+    assert only_id.columns == ["id"] and only_id.count() == 400
+    with pytest.raises(Exception, match="unknown column"):
+        spark.read.format("pi2spark").option("columns", "nope").load(t.root).count()
