@@ -479,6 +479,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token", F.col("cnt").cast("long").alias("cnt")
         )
 
+    def q_decontaminate(spark, sf_dir):
+        """Benchmark decontamination (pi2spark.textops.decontaminate):
+        documents sharing a token 3-gram with a deterministic held-out
+        benchmark slice (doc_id % 97 == 0). Benchmark grams broadcast;
+        the only shuffle is the per-doc hit-count groupBy."""
+        from pi2spark.textops import decontaminate
+
+        docs = _load(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        corpus = docs.filter(F.col("doc_id") % 97 != 0)
+        return decontaminate(corpus, bench, n=3)
+
+    def q_corpus_stats(spark, sf_dir):
+        """Per-language corpus statistics with exact interpolated
+        length quantiles (pi2spark.textops.corpus_stats) — the mixture
+        design table a pretraining pipeline reads before sampling."""
+        from pi2spark.textops import corpus_stats
+
+        return corpus_stats(_load(spark, sf_dir, "documents"))
+
     def q_pack_sequences(spark, sf_dir):
         """Concat-and-chunk sequence packing for LLM pretraining
         (pi2spark.textops.pack_sequences): per-source document streams
@@ -1123,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "boilerplate_removal": q_boilerplate_removal,
         "vocab_topk": q_vocab_topk,
+        "decontaminate": q_decontaminate,
+        "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_verified": q_near_dup_verified,
         "dedup_components": q_dedup_components,
@@ -1334,6 +1356,37 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 200
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(t[u.i:u.i+2], ' ') AS gram
+              FROM toks, LATERAL unnest(range(1, len(t) - 3 + 2)) AS u(i)
+              WHERE len(t) >= 3
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+            )
+            SELECT g.doc_id, count(*) AS hit_ngrams,
+                   count(DISTINCT g.gram) AS distinct_hit_ngrams
+            FROM grams g JOIN bench b USING (gram)
+            WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id
+        """,
+        "corpus_stats": r"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   round(avg(CAST(length(text) AS DOUBLE)), 4) AS avg_chars,
+                   CAST(min(length(text)) AS BIGINT) AS min_chars,
+                   CAST(max(length(text)) AS BIGINT) AS max_chars,
+                   round(quantile_cont(length(text), 0.25), 4) AS p25_chars,
+                   round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
+                   round(quantile_cont(length(text), 0.75), 4) AS p75_chars,
+                   round(quantile_cont(length(text), 0.9), 4) AS p90_chars,
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                       AS total_ws_tokens
+            FROM documents GROUP BY lang
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

@@ -425,6 +425,90 @@ def vocab_topk(
     )
 
 
+def token_ngram_array(text_col: str = "text", n: int = 8) -> F.Column:
+    """Array of token ``n``-grams (lowercased, whitespace-tokenized,
+    space-joined) — pure JVM array expressions, so n-gram generation
+    stays inside whole-stage codegen. A document with fewer than ``n``
+    tokens yields an empty array."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM training-data recipe):
+    flag every corpus document sharing at least one token ``n``-gram
+    with a held-out benchmark/eval set, so contaminated documents can
+    be dropped before training. Returns one row per contaminated
+    document: ``(id, hit_ngrams, distinct_hit_ngrams)``.
+
+    100 TB shape: the benchmark side is small by construction (eval
+    sets are MBs, the corpus is TBs) — its distinct n-grams are
+    broadcast, so the corpus side joins map-side with NO shuffle of
+    the exploded grams; the only shuffle is the per-doc count groupBy,
+    which carries (id, gram-hit) rows already filtered down to actual
+    hits and partial-aggregates map-side. The corpus scan reads only
+    (id, text) — column pruning applies."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(token_ngram_array(text_col, n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(token_ngram_array(text_col, n)).alias("gram"),
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("hit_ngrams"),
+        F.count_distinct("gram").alias("distinct_hit_ngrams"),
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language corpus statistics for mixture design: document
+    count, total/average length, exact interpolated length quantiles
+    (p25/p50/p75/p90), and total whitespace-token volume. One shuffle
+    (groupBy lang, low cardinality) — at 100 TB the partial aggregates
+    do all the work map-side and the exact percentile is per-language
+    state bounded by docs-per-language; for unbounded cardinality
+    swap in ``percentile_approx`` (same call shape)."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    pct = F.expr(
+        f"percentile(length({text_col}), array(0.25D, 0.5D, 0.75D, 0.9D))"
+    )
+    ws = F.size(F.split(F.trim(t), _WS)).cast("long")
+    return df.groupBy(lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).cast("long").alias("total_chars"),
+        F.round(F.avg(n), 4).alias("avg_chars"),
+        F.min(n).cast("long").alias("min_chars"),
+        F.max(n).cast("long").alias("max_chars"),
+        F.round(pct[0], 4).alias("p25_chars"),
+        F.round(pct[1], 4).alias("p50_chars"),
+        F.round(pct[2], 4).alias("p75_chars"),
+        F.round(pct[3], 4).alias("p90_chars"),
+        F.sum(ws).alias("total_ws_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------

@@ -323,3 +323,53 @@ def test_pack_sequences_global_rejects_bad_order_col(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         pack_sequences(nulls, 16, by=())
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    from pi2spark.textops import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content here with no overlap at all"),
+            (3, "QUICK   Brown fox appears in this one too"),  # case/ws-insensitive
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a benchmark question about the quick brown fox")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert 1 in out and 3 in out
+    assert 2 not in out and 4 not in out
+    # doc 1 shares "the quick brown", "quick brown fox"; doc 3 shares "quick brown fox"
+    assert out[1].distinct_hit_ngrams == 2
+    assert out[3].distinct_hit_ngrams == 1
+
+
+def test_decontaminate_short_docs_yield_no_grams(spark):
+    from pi2spark.textops import decontaminate
+
+    corpus = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "one two three")], "doc_id long, text string")
+    assert decontaminate(corpus, bench, n=3).count() == 0
+
+
+def test_corpus_stats_exact_quantiles(spark):
+    from pi2spark.textops import corpus_stats
+
+    df = spark.createDataFrame(
+        [(i, "x" * n, "en") for i, n in enumerate([10, 20, 30, 40])]
+        + [(99, "y" * 7, "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.lang: r for r in corpus_stats(df).collect()}
+    en = rows["en"]
+    assert en.n_docs == 4 and en.total_chars == 100
+    assert en.min_chars == 10 and en.max_chars == 40
+    # exact interpolated quantiles over [10,20,30,40]
+    assert en.p25_chars == 17.5 and en.p50_chars == 25.0 and en.p75_chars == 32.5
+    de = rows["de"]
+    assert de.n_docs == 1 and de.p50_chars == 7.0 and de.total_ws_tokens == 1
