@@ -847,6 +847,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id", "_change_type")
         )
 
+    def q_delete_where(spark, sf_dir):
+        """Predicate DELETE as a copy-on-write maintenance pass
+        (pi2spark.maintenance.delete_where): two deletes — an equality
+        predicate that engages the metadata-only whole-file drop
+        (single-lang files proved all-matching by stats + null counts,
+        dropped with NO read), then a range + residual-condition delete
+        that rewrites only the stats-affected files, discarding empty
+        outputs. Returns the surviving rows."""
+        from pi2spark.maintenance import delete_where
+        from pi2spark.table import ColumnPredicate, Table
+
+        docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+        root = tempfile.mkdtemp(prefix="pi2spark-del-")
+        t = Table.create(
+            os.path.join(root, "tbl"),
+            properties={"stats.columns": ["doc_id", "lang"], "bloom.columns": []},
+        )
+        # one file per language (deterministic layout): the 'de' file's
+        # stats prove every row matches, so the first delete drops it
+        # from the manifest without reading a byte
+        for lang in ("de", "en", "es", "fr", "zh"):
+            t.append(docs.filter(F.col("lang") == lang).coalesce(1), spark)
+        res = delete_where(t, spark, [ColumnPredicate("lang", "eq", "de")])
+        assert res.details["whole_file_deletes"] >= 1, "fast path must engage"
+        delete_where(
+            t,
+            spark,
+            [ColumnPredicate("doc_id", "between", (100, 399))],
+            extra_condition="doc_id % 3 = 0",
+        )
+        return (
+            t.scan(spark)
+            .select("doc_id", "source", "lang", F.sha2("text", 256).alias("text_sha"))
+            .orderBy("doc_id")
+        )
+
+    def q_update_where(spark, sf_dir):
+        """Predicate UPDATE as a copy-on-write maintenance pass
+        (pi2spark.maintenance.update_where): rewrite only the files
+        whose stats may contain a matching row, applying the
+        assignment to matching rows and keeping every other row
+        byte-identical (row-preserving)."""
+        from pi2spark.maintenance import update_where
+        from pi2spark.table import ColumnPredicate, Table
+
+        docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+        root = tempfile.mkdtemp(prefix="pi2spark-upd-")
+        t = Table.create(
+            os.path.join(root, "tbl"),
+            properties={"stats.columns": ["doc_id"], "bloom.columns": []},
+        )
+        t.append(docs.repartitionByRange(8, "doc_id"), spark)
+        res = update_where(
+            t,
+            spark,
+            [ColumnPredicate("doc_id", "le", 300)],
+            {"source": "upper(source)", "text": F.concat(F.lit("U:"), F.col("text"))},
+            extra_condition="doc_id % 2 = 0",
+        )
+        assert res.details["affected_files"] < res.details["total_files"]
+        return (
+            t.scan(spark)
+            .select("doc_id", "source", "lang", F.sha2("text", 256).alias("text_sha"))
+            .orderBy("doc_id")
+        )
+
     def q_cdc_mirror(spark, sf_dir):
         """CDC table-to-table replication (consumer side of the change
         feed): bootstrap a mirror from the source's current snapshot,
@@ -1162,6 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_pipeline": q_maintenance_pipeline,
         "merge_upsert": q_merge_upsert,
         "table_changes": q_table_changes,
+        "delete_where": q_delete_where,
+        "update_where": q_update_where,
         "cdc_mirror": q_cdc_mirror,
         "snapshot_rollback": q_snapshot_rollback,
         "schema_evolution": q_schema_evolution,
@@ -1591,6 +1659,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT _change_type, _commit_snapshot_id, doc_id, source, lang,
                    sha256(text) AS text_sha
             FROM chg ORDER BY doc_id, _change_type
+        """,
+        "delete_where": """
+            SELECT doc_id, source, lang, sha256(text) AS text_sha
+            FROM documents
+            WHERE NOT (lang = 'de')
+              AND NOT (doc_id BETWEEN 100 AND 399 AND doc_id % 3 = 0)
+            ORDER BY doc_id
+        """,
+        "update_where": """
+            SELECT doc_id,
+                   CASE WHEN doc_id <= 300 AND doc_id % 2 = 0
+                        THEN upper(source) ELSE source END AS source,
+                   lang,
+                   sha256(CASE WHEN doc_id <= 300 AND doc_id % 2 = 0
+                               THEN 'U:' || text ELSE text END) AS text_sha
+            FROM documents
+            ORDER BY doc_id
         """,
         "cdc_mirror": """
             WITH docs AS (SELECT doc_id, source, lang, text FROM documents),

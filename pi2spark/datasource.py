@@ -434,6 +434,7 @@ class _WrittenFile(WriterCommitMessage):
     bytes: int = 0
     stats_json: str = "{}"
     blooms_json: str = "{}"
+    nulls_json: str = "{}"
 
 
 class _ArrowFileWriter:
@@ -479,10 +480,12 @@ class _ArrowFileWriter:
             return _WrittenFile(rel_path=None)
         writer.close()
         os.rename(tmp, out_abs)
-        rows, size, stats, blooms = _footer_stats(
+        rows, size, stats, blooms, nulls = _footer_stats(
             out_abs, self._stat_cols, self._bloom_cols
         )
-        return _WrittenFile(rel, rows, size, json.dumps(stats), json.dumps(blooms))
+        return _WrittenFile(
+            rel, rows, size, json.dumps(stats), json.dumps(blooms), json.dumps(nulls)
+        )
 
     def delete_staged(self, messages) -> None:
         for m in messages or ():
@@ -530,6 +533,7 @@ def _datafiles_from_messages(messages) -> list:
             bytes=m.bytes,
             stats=json.loads(m.stats_json),
             blooms=json.loads(m.blooms_json),
+            nulls=json.loads(getattr(m, "nulls_json", "{}")),
         )
         for m in messages or ()
         if m is not None and m.rel_path

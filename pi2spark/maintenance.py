@@ -1011,6 +1011,330 @@ def merge_into(
     return _run_with_replans(table, ledger, "merge", max_replans, _attempt)
 
 
+# ---------------------------------------------------------------------------
+# predicate DELETE / UPDATE (B8 family — copy-on-write row surgery by
+# stats predicate rather than by key)
+# ---------------------------------------------------------------------------
+
+
+def _predicate_expr(pred: ColumnPredicate):
+    """Row-level Column expression equivalent of a stats predicate —
+    the same condition the pruner evaluated against file [min,max]
+    ranges, applied to rows (stats pruning is necessary-not-
+    sufficient, so every pass re-applies it row-level)."""
+    c = F.col(pred.column)
+    if pred.op == "eq":
+        return c == F.lit(pred.value)
+    if pred.op == "in":
+        return c.isin(list(pred.values))
+    if pred.op == "le":
+        return c <= F.lit(pred.value)
+    if pred.op == "ge":
+        return c >= F.lit(pred.value)
+    if pred.op == "between":
+        lo, hi = pred.value
+        return (c >= F.lit(lo)) & (c <= F.lit(hi))
+    raise Pi2SparkError(f"unknown predicate op {pred.op}")
+
+
+def _stats_prove_all_match(pred: ColumnPredicate, f: DataFile) -> bool:
+    """True only when the file's footer stats PROVE every row matches
+    ``pred`` — the soundness condition for a metadata-only whole-file
+    delete (Delta/Iceberg's file-granularity DELETE).
+
+    Requires an exact null count of 0 for the column (a NULL row never
+    matches a comparison, so any null — or an unknown count from a
+    pre-upgrade manifest — disqualifies the proof). Parquet writers may
+    truncate string bounds, but truncation is one-sided (stored min ≤
+    true min, stored max ≥ true max), so every containment test below
+    stays sound under truncation."""
+    st = f.stats.get(pred.column)
+    if not st or st[0] is None or st[1] is None:
+        return False
+    if f.nulls.get(pred.column) != 0:
+        return False
+    mn, mx = st
+    if pred.op == "eq":
+        return mn == mx == pred.value
+    if pred.op == "in":
+        return mn == mx and mn in pred.values
+    if pred.op == "le":
+        return mx <= pred.value
+    if pred.op == "ge":
+        return mn >= pred.value
+    if pred.op == "between":
+        lo, hi = pred.value
+        return lo <= mn and mx <= hi
+    raise Pi2SparkError(f"unknown predicate op {pred.op}")
+
+
+def _where_expr(predicates, extra_condition):
+    cond = None
+    for p in predicates:
+        e = _predicate_expr(p)
+        cond = e if cond is None else (cond & e)
+    if extra_condition is not None:
+        e = F.expr(extra_condition) if isinstance(extra_condition, str) else extra_condition
+        cond = e if cond is None else (cond & e)
+    if cond is None:
+        raise Pi2SparkError("delete/update requires predicates or an extra condition")
+    return cond
+
+
+def delete_where(
+    table: Table,
+    spark: SparkSession,
+    predicates,
+    extra_condition=None,
+    pass_id: str | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    wave_files: int = DEFAULT_WAVE_FILES,
+    max_replans: int = 3,
+) -> PassResult:
+    """``DELETE FROM table WHERE ...`` as a copy-on-write maintenance
+    pass (the predicate form of the shred/MERGE rewrite family, B8).
+
+    ``predicates`` is a conjunction of ``ColumnPredicate``s; they drive
+    file pruning AND are re-applied row-level. ``extra_condition`` (a
+    Column or SQL string) ANDs an arbitrary row-level condition that
+    cannot prune — e.g. ``length(path) > 80``.
+
+    Three file classes per attempt, planned from manifest stats alone:
+      * untouched — stats prove no row can match (pruned);
+      * whole-delete — stats prove EVERY row matches
+        (``_stats_prove_all_match``, only without ``extra_condition``):
+        dropped from the manifest with no read or rewrite — Delta's
+        file-granularity delete, the 100 TB fast path for partition-
+        aligned deletes;
+      * rewrite — the boundary files, rewritten in scan-packed waves
+        keeping only non-matching rows; outputs that come back empty
+        are discarded rather than committed as 0-row files.
+
+    Conflict re-planning and ledger resume are the shared rewrite
+    protocol (``_run_with_replans``); like the other passes, the
+    rewrite is crypto-opaque (envelope bytes move untouched)."""
+    t0 = time.time()
+    preds = list(predicates)
+    cond = _where_expr(preds, extra_condition)
+    pass_id = pass_id or _new_pass_id("delete")
+    ledger = PassLedger(table.root, pass_id)
+    if ledger.committed:
+        return PassResult(
+            "delete", pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True
+        )
+
+    def keep(df: DataFrame) -> DataFrame:
+        # NULL-safe: rows where cond is NULL did not match -> kept
+        return df.filter(~F.coalesce(cond, F.lit(False)))
+
+    def _attempt(attempt: int, prefix: str):
+        snap = table.snapshot()
+        affected = [f for f in snap.files if all(p.may_match(f) for p in preds)]
+        if not affected:
+            return PassResult(
+                "delete", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True
+            )
+        whole = (
+            [f for f in affected if all(_stats_prove_all_match(p, f) for p in preds)]
+            if extra_condition is None and preds
+            else []
+        )
+        whole_set = {f.path for f in whole}
+        rewrite = [f for f in affected if f.path not in whole_set]
+
+        added: list[DataFile] = []
+        removed = [f.path for f in whole]
+        if rewrite:
+            results = _rewrite_files_in_waves(
+                table,
+                spark,
+                ledger,
+                sorted(rewrite, key=lambda f: f.path),
+                f"delete-{pass_id}",
+                target_bytes=target_file_bytes,
+                transform=keep,
+                sort_col="zkey",
+                wave_files=wave_files,
+                task_prefix=prefix,
+            )
+            removed += [p for r in results for p in r["inputs"]]
+            outs = [DataFile.from_json(d) for r in results for d in r["outputs"]]
+            # a file whose rows all matched writes back empty (or as a
+            # 0-row parquet shell) — drop shells from the commit; the
+            # physical files are removed best-effort, orphan sweep
+            # reclaims any survivor
+            for a in outs:
+                if a.rows == 0:
+                    try:
+                        os.remove(os.path.join(table.root, a.path))
+                    except OSError:
+                        pass
+                else:
+                    added.append(a)
+
+        def finish(new_snap):
+            ledger.record_commit(new_snap.snapshot_id)
+            return PassResult(
+                "delete",
+                pass_id,
+                new_snap.snapshot_id,
+                rewritten_files=len(rewrite),
+                added_files=len(added),
+                rewritten_bytes=sum(f.bytes for f in rewrite),
+                seconds=time.time() - t0,
+                details={
+                    "affected_files": len(affected),
+                    "whole_file_deletes": len(whole),
+                    "total_files": len(snap.files),
+                    # every affected row either survives into `added`
+                    # or was deleted (whole-file inputs contribute all
+                    # their rows — nothing of theirs is in `added`)
+                    "deleted_rows": sum(f.rows for f in affected)
+                    - sum(a.rows for a in added),
+                    "replans": attempt,
+                },
+            )
+
+        summary = {
+            "pass_id": pass_id,
+            "predicates": [
+                {"column": p.column, "op": p.op, "value": p.value, "values": list(p.values)}
+                for p in preds
+            ],
+            "affected_files": len(affected),
+            "whole_file_deletes": len(whole),
+            "replans": attempt,
+        }
+        return added, removed, summary, finish
+
+    return _run_with_replans(table, ledger, "delete", max_replans, _attempt)
+
+
+def update_where(
+    table: Table,
+    spark: SparkSession,
+    predicates,
+    assignments: dict,
+    extra_condition=None,
+    pass_id: str | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    wave_files: int = DEFAULT_WAVE_FILES,
+    max_replans: int = 3,
+) -> PassResult:
+    """``UPDATE table SET col = expr WHERE ...`` as a copy-on-write
+    pass: rewrite ONLY the files whose stats may contain a matching
+    row, applying each assignment to matching rows and leaving every
+    other row (and every other file) byte-identical.
+
+    ``assignments`` maps column name → Column or SQL expression string
+    evaluated against the pre-update row. Protected columns are
+    refused: a PII column exists at rest only as its envelope, so a
+    plaintext assignment through this path would bypass encryption —
+    update PII via decrypt → transform → ``encrypt_table`` → MERGE
+    instead. The subject column is likewise refused (rebinding rows to
+    a different subject must re-seal the envelope under the new
+    subject's key — reencrypt's job, not a projection's)."""
+    t0 = time.time()
+    preds = list(predicates)
+    cond = _where_expr(preds, extra_condition)
+    if not assignments:
+        raise Pi2SparkError("update_where requires at least one assignment")
+    from pi2spark.errors import SchemaNotFoundError
+
+    protected: set = set()
+    try:
+        spec = table.protection_spec()
+        protected |= set(spec.pii_columns) | {spec.subject_column} | {
+            spec.envelope_column(c) for c in spec.pii_columns
+        }
+    except SchemaNotFoundError:
+        pass  # no stored protection doc — fall through to schema markers
+    # even without a stored protection document, envelope columns are
+    # identifiable from the persisted data schema's field metadata
+    # (ENVELOPE_FOR_KEY is written by encrypt_table and survives
+    # parquet) — assigning to one bypasses crypto just the same
+    schema = table.data_schema()
+    if schema is not None:
+        from pi2spark.crypto import ENVELOPE_FOR_KEY
+
+        for f in schema.fields:
+            md = f.metadata or {}
+            if ENVELOPE_FOR_KEY in md:
+                protected.add(f.name)
+                protected.add(md[ENVELOPE_FOR_KEY])
+    bad = sorted(set(assignments) & protected)
+    if bad:
+        raise Pi2SparkError(
+            f"update_where cannot assign protected column(s) {bad}: PII moves "
+            "through decrypt/encrypt_table or reencrypt, never a plain projection"
+        )
+    pass_id = pass_id or _new_pass_id("update")
+    ledger = PassLedger(table.root, pass_id)
+    if ledger.committed:
+        return PassResult(
+            "update", pass_id, ledger.committed["snapshot_id"], 0, 0, 0, 0.0, skipped=True
+        )
+
+    def apply(df: DataFrame) -> DataFrame:
+        hit = F.coalesce(cond, F.lit(False))
+        out = df
+        for name, expr in assignments.items():
+            if name not in df.columns:
+                raise Pi2SparkError(f"update_where: no such column {name!r}")
+            val = F.expr(expr) if isinstance(expr, str) else expr
+            out = out.withColumn(name, F.when(hit, val).otherwise(F.col(name)))
+        return out.select(*df.columns)
+
+    def _attempt(attempt: int, prefix: str):
+        snap = table.snapshot()
+        affected = [f for f in snap.files if all(p.may_match(f) for p in preds)]
+        if not affected:
+            return PassResult(
+                "update", pass_id, snap.snapshot_id, 0, 0, 0, time.time() - t0, skipped=True
+            )
+        results = _rewrite_files_in_waves(
+            table,
+            spark,
+            ledger,
+            sorted(affected, key=lambda f: f.path),
+            f"update-{pass_id}",
+            target_bytes=target_file_bytes,
+            transform=apply,
+            sort_col="zkey",
+            wave_files=wave_files,
+            task_prefix=prefix,
+        )
+        removed = [p for r in results for p in r["inputs"]]
+        added = [DataFile.from_json(d) for r in results for d in r["outputs"]]
+
+        def finish(new_snap):
+            ledger.record_commit(new_snap.snapshot_id)
+            return PassResult(
+                "update",
+                pass_id,
+                new_snap.snapshot_id,
+                rewritten_files=len(affected),
+                added_files=len(added),
+                rewritten_bytes=sum(f.bytes for f in affected),
+                seconds=time.time() - t0,
+                details={
+                    "affected_files": len(affected),
+                    "total_files": len(snap.files),
+                    "replans": attempt,
+                },
+            )
+
+        summary = {
+            "pass_id": pass_id,
+            "assignments": sorted(assignments),
+            "affected_files": len(affected),
+            "replans": attempt,
+        }
+        return added, removed, summary, finish
+
+    return _run_with_replans(table, ledger, "update", max_replans, _attempt)
+
+
 def reencrypt(
     table: Table,
     spark: SparkSession,

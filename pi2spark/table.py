@@ -88,11 +88,18 @@ class DataFile:
     stats: dict = field(default_factory=dict)
     # col -> base64 bloom bitset (pi2spark.bloom); Iceberg-puffin analogue
     blooms: dict = field(default_factory=dict)
+    # col -> exact null count (Iceberg null_value_counts); a column is
+    # listed only when every row group reported a null count, so a
+    # missing entry means UNKNOWN (pre-upgrade manifests, stat-less
+    # writers) and consumers must stay conservative
+    nulls: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
         d = {"path": self.path, "rows": self.rows, "bytes": self.bytes, "stats": self.stats}
         if self.blooms:
             d["blooms"] = self.blooms
+        if self.nulls:
+            d["nulls"] = self.nulls
         return d
 
     @classmethod
@@ -103,6 +110,7 @@ class DataFile:
             bytes=d["bytes"],
             stats=d.get("stats", {}),
             blooms=d.get("blooms", {}),
+            nulls=d.get("nulls", {}),
         )
 
 
@@ -123,10 +131,13 @@ class Snapshot:
 
 def _footer_stats(
     abs_path: str, stat_cols: Sequence[str], bloom_cols: Sequence[str] = ()
-) -> tuple[int, int, dict, dict]:
+) -> tuple[int, int, dict, dict, dict]:
     """Read one Parquet footer: (rows, bytes, {col: [min,max]},
-    {col: bloom_b64}). Bloom columns additionally read that column's
-    values (projected read — a few KB for the subject column)."""
+    {col: bloom_b64}, {col: null_count}). Bloom columns additionally
+    read that column's values (projected read — a few KB for the
+    subject column). Null counts are exact and recorded only when
+    EVERY row group reported one (consumers treat absence as
+    unknown — the conservative default for pre-upgrade manifests)."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(abs_path)
@@ -136,6 +147,8 @@ def _footer_stats(
     want = set(stat_cols)
     mins: dict = {}
     maxs: dict = {}
+    nulls: dict = {}
+    null_unknown: set = set()
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
         for ci in range(g.num_columns):
@@ -144,6 +157,10 @@ def _footer_stats(
             if name not in want:
                 continue
             st = col.statistics
+            if st is not None and st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                null_unknown.add(name)
             if st is None or not st.has_min_max:
                 continue
             mn, mx = st.min, st.max
@@ -156,6 +173,7 @@ def _footer_stats(
             if name not in maxs or mx > maxs[name]:
                 maxs[name] = mx
     stats = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+    nulls = {c: n for c, n in nulls.items() if c not in null_unknown}
     blooms: dict = {}
     present = {meta.row_group(0).column(ci).path_in_schema for ci in range(meta.num_columns)} if meta.num_row_groups else set()
     for c in bloom_cols:
@@ -166,7 +184,7 @@ def _footer_stats(
         tab = pq.read_table(abs_path, columns=[c])
         distinct = tab.column(c).unique().to_pylist()
         blooms[c] = build_bloom([v for v in distinct if v is not None])
-    return rows, size, stats, blooms
+    return rows, size, stats, blooms, nulls
 
 
 def collect_data_files(
@@ -191,8 +209,10 @@ def collect_data_files(
 
         def part(paths):
             for p in paths:
-                rows, size, stats, blooms = _footer_stats(os.path.join(rootv, p), cols, bcols)
-                yield (p, rows, size, json.dumps(stats), json.dumps(blooms))
+                rows, size, stats, blooms, nulls = _footer_stats(
+                    os.path.join(rootv, p), cols, bcols
+                )
+                yield (p, rows, size, json.dumps(stats), json.dumps(blooms), json.dumps(nulls))
 
         # ≥8 files per task bounds scheduler overhead; the ceiling lets
         # a 64-file post-compact stats sweep still use every core
@@ -205,14 +225,19 @@ def collect_data_files(
             .collect()
         )
         return [
-            DataFile(path=p, rows=r, bytes=b, stats=json.loads(s), blooms=json.loads(bl))
-            for p, r, b, s, bl in results
+            DataFile(
+                path=p, rows=r, bytes=b,
+                stats=json.loads(s), blooms=json.loads(bl), nulls=json.loads(nl),
+            )
+            for p, r, b, s, bl, nl in results
         ]
     from concurrent.futures import ThreadPoolExecutor
 
     def one(p: str) -> DataFile:
-        rows, size, stats, blooms = _footer_stats(os.path.join(root, p), stat_cols, bloom_cols)
-        return DataFile(path=p, rows=rows, bytes=size, stats=stats, blooms=blooms)
+        rows, size, stats, blooms, nulls = _footer_stats(
+            os.path.join(root, p), stat_cols, bloom_cols
+        )
+        return DataFile(path=p, rows=rows, bytes=size, stats=stats, blooms=blooms, nulls=nulls)
 
     with ThreadPoolExecutor(max_workers=16) as ex:
         return list(ex.map(one, rel_paths))
@@ -260,14 +285,17 @@ def rewrite_file_groups(
         tmp = out_abs + ".inprogress"
         pq.write_table(tbl, tmp, compression="snappy")
         os.rename(tmp, out_abs)
-        rows, size, stats, blooms = _footer_stats(out_abs, cols, bcols)
-        return (out_rel, rows, size, json.dumps(stats), json.dumps(blooms))
+        rows, size, stats, blooms, nulls = _footer_stats(out_abs, cols, bcols)
+        return (out_rel, rows, size, json.dumps(stats), json.dumps(blooms), json.dumps(nulls))
 
     sc = spark.sparkContext
     results = sc.parallelize(list(groups), len(groups)).map(work).collect()
     return [
-        DataFile(path=p, rows=r, bytes=b, stats=json.loads(s), blooms=json.loads(bl))
-        for p, r, b, s, bl in results
+        DataFile(
+            path=p, rows=r, bytes=b,
+            stats=json.loads(s), blooms=json.loads(bl), nulls=json.loads(nl),
+        )
+        for p, r, b, s, bl, nl in results
     ]
 
 

@@ -1,0 +1,209 @@
+"""Predicate DELETE / UPDATE passes (maintenance.delete_where /
+update_where): copy-on-write row surgery driven by manifest stats —
+file pruning, metadata-only whole-file deletes, empty-output discard,
+NULL semantics, protected-column guard, ledger resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.errors import Pi2SparkError
+from pi2spark.maintenance import delete_where, update_where
+from pi2spark.table import ColumnPredicate, Table
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lang"), (F.col("id") % 4).cast("string")).alias("lang"),
+        F.concat(F.lit("src"), (F.col("id") % 7).cast("string")).alias("source"),
+        F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = Table.create(
+        str(tmp_path / "tbl"),
+        properties={"stats.columns": ["doc_id", "lang"], "bloom.columns": []},
+    )
+    df = _docs(spark)
+    # one file per lang range -> single-valued lang stats per file,
+    # plus a mixed tail file so the rewrite path is exercised too
+    t.append(df.filter(F.col("doc_id") < 320).repartitionByRange(4, "lang"), spark)
+    t.append(df.filter(F.col("doc_id") >= 320).coalesce(1), spark)
+    return t
+
+
+def test_delete_whole_file_is_metadata_only(spark, table):
+    before = {f.path for f in table.snapshot().files}
+    res = delete_where(table, spark, [ColumnPredicate("lang", "eq", "lang1")])
+    # the single-valued lang1 file is dropped without a rewrite; the
+    # mixed tail file is rewritten
+    assert res.details["whole_file_deletes"] == 1
+    assert res.rewritten_files == 1
+    scan = table.scan(spark)
+    assert scan.filter(F.col("lang") == "lang1").count() == 0
+    assert scan.count() == 300
+    # untouched files keep their manifest entries (no rewrite)
+    untouched = {f.path for f in table.snapshot().files} & before
+    assert len(untouched) == 3  # lang0/lang2/lang3 files never rewritten
+    assert res.details["deleted_rows"] == 100
+
+
+def test_delete_prunes_unaffected_files(spark, table):
+    n_files = len(table.snapshot().files)
+    res = delete_where(
+        table, spark, [ColumnPredicate("doc_id", "between", (330, 339))]
+    )
+    # only the tail file may contain that range
+    assert res.details["affected_files"] == 1
+    assert res.details["whole_file_deletes"] == 0
+    assert table.scan(spark).filter(
+        (F.col("doc_id") >= 330) & (F.col("doc_id") <= 339)
+    ).count() == 0
+    assert len(table.snapshot().files) == n_files  # 1 dropped, 1 added
+    assert res.details["deleted_rows"] == 10
+
+
+def test_delete_extra_condition_and_empty_output_discard(spark, table):
+    # extra_condition disables the whole-file proof; deleting ALL of
+    # lang3's rows through the rewrite path must discard the empty
+    # output instead of committing a 0-row file
+    n_files = len(table.snapshot().files)
+    res = delete_where(
+        table,
+        spark,
+        [ColumnPredicate("lang", "eq", "lang3")],
+        extra_condition="doc_id >= 0",
+    )
+    assert res.details["whole_file_deletes"] == 0
+    scan = table.scan(spark)
+    assert scan.filter(F.col("lang") == "lang3").count() == 0
+    files = table.snapshot().files
+    assert all(f.rows > 0 for f in files)
+    # lang3's dedicated file vanished; the mixed tail was rewritten
+    assert len(files) == n_files - 1
+
+
+def test_delete_null_rows_are_kept(spark, tmp_path):
+    t = Table.create(str(tmp_path / "nulls"), properties={"stats.columns": ["doc_id"]})
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, tag string"
+    )
+    t.append(df.coalesce(1), spark)
+    delete_where(t, spark, [], extra_condition=F.col("tag") == "a")
+    rows = {r.doc_id for r in t.scan(spark).collect()}
+    assert rows == {2, 3}  # NULL tag never matches -> kept
+
+
+def test_delete_requires_a_condition(spark, table):
+    with pytest.raises(Pi2SparkError, match="requires predicates"):
+        delete_where(table, spark, [])
+
+
+def test_delete_ledger_resume_skips(spark, table):
+    res = delete_where(
+        table, spark, [ColumnPredicate("lang", "eq", "lang2")], pass_id="del-1"
+    )
+    again = delete_where(
+        table, spark, [ColumnPredicate("lang", "eq", "lang2")], pass_id="del-1"
+    )
+    assert again.skipped and again.snapshot_id == res.snapshot_id
+
+
+def test_update_rewrites_only_affected_and_applies_expr(spark, table):
+    n_total = len(table.snapshot().files)
+    res = update_where(
+        table,
+        spark,
+        [ColumnPredicate("lang", "eq", "lang0")],
+        {"text": F.concat(F.lit("U:"), F.col("text"))},
+    )
+    assert 0 < res.details["affected_files"] < n_total
+    scan = table.scan(spark).cache()
+    assert scan.count() == 400  # row-preserving
+    assert scan.filter(
+        (F.col("lang") == "lang0") & ~F.col("text").startswith("U:")
+    ).count() == 0
+    assert scan.filter(
+        (F.col("lang") != "lang0") & F.col("text").startswith("U:")
+    ).count() == 0
+    scan.unpersist()
+
+
+def test_update_sql_string_assignment_and_extra_condition(spark, table):
+    update_where(
+        table,
+        spark,
+        [ColumnPredicate("doc_id", "le", 50)],
+        {"source": "upper(source)"},
+        extra_condition="doc_id % 2 = 0",
+    )
+    scan = table.scan(spark).filter(F.col("doc_id") <= 50)
+    for r in scan.collect():
+        expect_upper = r.doc_id % 2 == 0
+        assert r.source.isupper() == expect_upper or not expect_upper
+
+
+def test_update_refuses_protected_columns(spark, tmp_path):
+    from pi2spark.crypto import encrypt_table
+    from pi2spark.registry import KeyRegistry
+    from pi2spark.spec import ProtectionSpec, annotate_schema
+    from pi2spark.synth import synthesize_source_files
+
+    spec = ProtectionSpec.for_source_files()
+    df = synthesize_source_files(spark, 50, seed=1, max_len=200)
+    reg = KeyRegistry(str(tmp_path / "kms"))
+    reg.register_from_df(df.select("repo"))
+    t = Table.create(
+        str(tmp_path / "prot"),
+        protection=annotate_schema(df.schema, "repo", ["content"]),
+    )
+    t.append(encrypt_table(df, spec, reg.key_map()), spark)
+    for col in ("content", "content_enc", "repo"):
+        with pytest.raises(Pi2SparkError, match="protected"):
+            update_where(
+                t, spark, [ColumnPredicate("lang", "eq", "python")], {col: "'x'"}
+            )
+
+
+def test_update_guard_from_schema_metadata_without_stored_doc(spark, tmp_path):
+    # a table created WITHOUT a stored protection document still
+    # refuses envelope assignments: encrypt_table's ENVELOPE_FOR_KEY
+    # field metadata survives in the persisted schema
+    from pi2spark.crypto import encrypt_table
+    from pi2spark.registry import KeyRegistry
+    from pi2spark.spec import ProtectionSpec
+    from pi2spark.synth import synthesize_source_files
+
+    spec = ProtectionSpec.for_source_files()
+    df = synthesize_source_files(spark, 30, seed=2, max_len=200)
+    reg = KeyRegistry(str(tmp_path / "kms"))
+    reg.register_from_df(df.select("repo"))
+    t = Table.create(str(tmp_path / "nodoc"))
+    t.append(encrypt_table(df, spec, reg.key_map()), spark)
+    for col in ("content_enc", "content"):
+        with pytest.raises(Pi2SparkError, match="protected"):
+            update_where(
+                t, spark, [ColumnPredicate("lang", "eq", "python")], {col: "'x'"}
+            )
+
+
+def test_update_unknown_column_raises(spark, table):
+    with pytest.raises(Pi2SparkError, match="no such column"):
+        update_where(
+            table, spark, [ColumnPredicate("lang", "eq", "lang0")], {"nope": "'x'"}
+        )
+
+
+def test_null_counts_recorded_in_manifest(spark, tmp_path):
+    t = Table.create(str(tmp_path / "nc"), properties={"stats.columns": ["doc_id", "tag"]})
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, tag string"
+    )
+    t.append(df.coalesce(1), spark)
+    (f,) = t.snapshot().files
+    assert f.nulls.get("doc_id") == 0
+    assert f.nulls.get("tag") == 1
