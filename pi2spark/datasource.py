@@ -11,8 +11,9 @@ Batch (``spark.read.format("pi2spark").load(root)``):
 
 * snapshot isolation (``option("snapshot_id", N)`` time-travels);
 * file pruning via ``pushFilters`` — supported filters (=, IN, <, <=,
-  >, >=, IS NULL on top-level columns) are mapped to the manifest's
-  per-file min/max stats and subject blooms, so a selective read
+  >, >=, IS NULL / IS NOT NULL on top-level columns) are mapped to
+  the manifest's per-file min/max stats, exact null counts, and
+  subject blooms, so a selective read
   plans only the surviving files' partitions; every filter is also
   returned to Spark for row-level re-application (stats pruning is
   necessary-not-sufficient);
@@ -65,6 +66,7 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
     IsNull,
     LessThan,
     LessThanOrEqual,
@@ -291,8 +293,12 @@ def _filters_to_predicates(filters: Sequence[Filter]) -> list["ColumnPredicate"]
         elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
             preds.append(ColumnPredicate(col, "ge", f.value))
         elif isinstance(f, IsNull):
-            # min/max stats ignore NULLs — no file-level pruning
-            continue
+            # exact per-file null counts (DataFile.nulls): a file with
+            # a recorded count of 0 provably holds no NULL row
+            preds.append(ColumnPredicate(col, "isnull"))
+        elif isinstance(f, IsNotNull):
+            # prunable only when a file is provably all-NULL
+            preds.append(ColumnPredicate(col, "notnull"))
     return preds
 
 

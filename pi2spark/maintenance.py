@@ -1023,6 +1023,10 @@ def _predicate_expr(pred: ColumnPredicate):
     ranges, applied to rows (stats pruning is necessary-not-
     sufficient, so every pass re-applies it row-level)."""
     c = F.col(pred.column)
+    if pred.op == "isnull":
+        return c.isNull()
+    if pred.op == "notnull":
+        return c.isNotNull()
     if pred.op == "eq":
         return c == F.lit(pred.value)
     if pred.op == "in":
@@ -1048,6 +1052,10 @@ def _stats_prove_all_match(pred: ColumnPredicate, f: DataFile) -> bool:
     truncate string bounds, but truncation is one-sided (stored min ≤
     true min, stored max ≥ true max), so every containment test below
     stays sound under truncation."""
+    if pred.op == "isnull":
+        return f.nulls.get(pred.column) == f.rows  # provably all-NULL
+    if pred.op == "notnull":
+        return f.nulls.get(pred.column) == 0
     st = f.stats.get(pred.column)
     if not st or st[0] is None or st[1] is None:
         return False

@@ -326,9 +326,10 @@ def pack_consecutive(files: Sequence["DataFile"], target_bytes: int) -> list[lis
 class ColumnPredicate:
     """Conjunctive stats predicate for driver-side file pruning.
 
-    op ∈ {"eq", "in", "le", "ge", "between"}; a file survives when its
-    [min,max] range for the column *may* contain a matching value.
-    Files without stats for the column always survive (safe)."""
+    op ∈ {"eq", "in", "le", "ge", "between", "isnull", "notnull"}; a
+    file survives when its [min,max] range (or exact null count, for
+    the null ops) *may* contain a matching value. Files without stats
+    for the column always survive (safe)."""
 
     column: str
     op: str
@@ -336,6 +337,13 @@ class ColumnPredicate:
     values: tuple = ()
 
     def may_match(self, f: DataFile) -> bool:
+        if self.op == "isnull":
+            # prune only on an exact null count of 0 (absence = unknown)
+            return f.nulls.get(self.column) != 0
+        if self.op == "notnull":
+            # prune only when the column is provably all-NULL
+            n = f.nulls.get(self.column)
+            return n is None or n < f.rows
         # bloom check first for equality predicates — near-exact
         if self.op in ("eq", "in") and self.column in f.blooms:
             from pi2spark.bloom import bloom_may_contain_any

@@ -198,6 +198,55 @@ def test_update_unknown_column_raises(spark, table):
         )
 
 
+def test_isnull_notnull_pruning_and_delete(spark, tmp_path):
+    t = Table.create(
+        str(tmp_path / "np"), properties={"stats.columns": ["doc_id", "tag"]}
+    )
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, tag string")
+    mixed = spark.createDataFrame([(3, None), (4, "c")], "doc_id long, tag string")
+    allnull = spark.createDataFrame(
+        [(5, None), (6, None)], "doc_id long, tag string"
+    )
+    for df in (clean, mixed, allnull):
+        t.append(df.coalesce(1), spark)
+
+    # pruning: IS NULL skips the provably-null-free file;
+    # IS NOT NULL skips the provably-all-NULL file
+    _, isnull_files = t.plan_files(filters=[ColumnPredicate("tag", "isnull")])
+    assert len(isnull_files) == 2
+    _, notnull_files = t.plan_files(filters=[ColumnPredicate("tag", "notnull")])
+    assert len(notnull_files) == 2
+
+    # DELETE WHERE tag IS NULL: the all-null file is a metadata-only
+    # whole-file drop; the mixed file rewrites; the clean file is pruned
+    res = delete_where(t, spark, [ColumnPredicate("tag", "isnull")])
+    assert res.details["whole_file_deletes"] == 1
+    assert res.details["affected_files"] == 2
+    assert {r.doc_id for r in t.scan(spark).collect()} == {1, 2, 4}
+
+
+def test_datasource_isnull_pushdown_prunes(spark, tmp_path):
+    t = Table.create(str(tmp_path / "dsnull"), properties={"stats.columns": ["tag"]})
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, tag string").coalesce(1),
+        spark,
+    )
+    t.append(
+        spark.createDataFrame([(3, None)], "doc_id long, tag string").coalesce(1),
+        spark,
+    )
+    from pi2spark.datasource import register
+
+    register(spark)
+    out = (
+        spark.read.format("pi2spark")
+        .load(t.root)
+        .filter(F.col("tag").isNull())
+        .collect()
+    )
+    assert [r.doc_id for r in out] == [3]
+
+
 def test_null_counts_recorded_in_manifest(spark, tmp_path):
     t = Table.create(str(tmp_path / "nc"), properties={"stats.columns": ["doc_id", "tag"]})
     df = spark.createDataFrame(
