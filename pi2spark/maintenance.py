@@ -798,6 +798,8 @@ def merge_into(
     wave_files: int = DEFAULT_WAVE_FILES,
     max_replans: int = 3,
     broadcast_key_cap: int = 500_000,
+    matched_condition=None,
+    assignments: dict | None = None,
 ) -> PassResult:
     """Generic key-based MERGE INTO (upsert/delete) — the general form
     of the shred pass's MERGE shape (SURVEY.md §2 B8): copy-on-write
@@ -813,6 +815,16 @@ def merge_into(
         their target values) or ``"delete"``.
       * ``when_not_matched`` — ``"insert"`` (source rows matching no
         target row append, absent columns NULL) or ``"skip"``.
+      * ``matched_condition`` — optional row-level guard on the match
+        (Delta's ``WHEN MATCHED AND <cond>``): a Column or SQL string
+        over the joined row, target columns by name and source payload
+        columns as ``src_<col>`` (e.g. ``"src_price <> price"``). A
+        key-matched row failing the condition is left untouched — and,
+        having matched on key, is NOT insert-eligible either.
+      * ``assignments`` — optional custom SET for ``"update"``:
+        column → Column/SQL expression over the same joined-row
+        namespace (e.g. ``{"qty": "qty + src_qty"}``); default replaces
+        each payload column with the source's value.
 
     100 TB shape: source keys are counted with one agg job (never an
     unbounded collect). Small key sets (≤ ``broadcast_key_cap``,
@@ -892,12 +904,40 @@ def merge_into(
     ).withColumn("__m", F.lit(True))
     broadcastable = key_rows is not None
 
+    if assignments is not None and when_matched != "update":
+        raise Pi2SparkError("merge assignments require when_matched='update'")
+
     def combine(df: DataFrame) -> DataFrame:
         right = F.broadcast(src_named) if broadcastable else src_named
         out = df.join(right, on=keys, how="left")
+        # user-facing source namespace for conditions/assignments
+        for c in payload_src_cols:
+            out = out.withColumn(f"src_{c}", F.col(f"__src_{c}"))
         hit = F.coalesce(F.col("__m"), F.lit(False))
+        if matched_condition is not None:
+            cond = (
+                F.expr(matched_condition)
+                if isinstance(matched_condition, str)
+                else matched_condition
+            )
+            hit = hit & F.coalesce(cond, F.lit(False))
         if when_matched == "delete":
             return out.filter(~hit).select(*df.columns)
+        if assignments is not None:
+            # all SET expressions see the PRE-update row (SQL MERGE
+            # semantics): stage every value before assigning any
+            for c, expr in assignments.items():
+                if c in keys or c not in df.columns:
+                    raise Pi2SparkError(
+                        f"merge assignment target {c!r} must be a non-key table column"
+                    )
+                val = F.expr(expr) if isinstance(expr, str) else expr
+                out = out.withColumn(f"__set_{c}", val)
+            for c in assignments:
+                out = out.withColumn(
+                    c, F.when(hit, F.col(f"__set_{c}")).otherwise(F.col(c))
+                )
+            return out.select(*df.columns)
         for c in payload_src_cols:
             if c in df.columns:
                 out = out.withColumn(
@@ -1002,6 +1042,8 @@ def merge_into(
             "on": keys,
             "when_matched": when_matched,
             "when_not_matched": when_not_matched,
+            "conditional": matched_condition is not None,
+            "custom_assignments": sorted(assignments) if assignments else [],
             "n_source_rows": int(n_src),
             "affected_files": len(affected),
             "replans": attempt,
@@ -1286,11 +1328,17 @@ def update_where(
     def apply(df: DataFrame) -> DataFrame:
         hit = F.coalesce(cond, F.lit(False))
         out = df
+        # all SET expressions see the PRE-update row (SQL UPDATE
+        # semantics): stage every value before assigning any
         for name, expr in assignments.items():
             if name not in df.columns:
                 raise Pi2SparkError(f"update_where: no such column {name!r}")
             val = F.expr(expr) if isinstance(expr, str) else expr
-            out = out.withColumn(name, F.when(hit, val).otherwise(F.col(name)))
+            out = out.withColumn(f"__set_{name}", val)
+        for name in assignments:
+            out = out.withColumn(
+                name, F.when(hit, F.col(f"__set_{name}")).otherwise(F.col(name))
+            )
         return out.select(*df.columns)
 
     def _attempt(attempt: int, prefix: str):

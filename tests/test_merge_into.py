@@ -6,7 +6,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from pi2spark.errors import AmbiguousMergeSourceError
+from pi2spark.errors import AmbiguousMergeSourceError, Pi2SparkError
 from pi2spark.maintenance import merge_into
 from pi2spark.table import Table
 
@@ -164,3 +164,66 @@ def test_resume_skips_committed_pass(spark, table):
     res1 = merge_into(table, spark, src, on="id", pass_id="merge-fixed")
     res2 = merge_into(table, spark, src, on="id", pass_id="merge-fixed")
     assert res2.skipped and res2.snapshot_id == res1.snapshot_id
+
+
+def test_matched_condition_guards_update(spark, table):
+    # update only rows whose source value actually differs AND id is
+    # even; odd-id matches stay byte-identical (Delta WHEN MATCHED AND)
+    src = spark.createDataFrame(
+        [(i, f"NEW-{i}") for i in range(100, 120)], "id long, val string"
+    )
+    merge_into(
+        table, spark, src, on="id",
+        matched_condition="id % 2 = 0 AND src_val <> val",
+        when_not_matched="skip",
+    )
+    got = _scan_pdf(table, spark)
+    inr = got[(got.id >= 100) & (got.id < 120)]
+    for _, r in inr.iterrows():
+        expect = f"NEW-{r.id}" if r.id % 2 == 0 else f"v0-{r.id}"
+        assert r.val == expect, (r.id, r.val)
+    assert len(got) == 1000  # skip: no inserts
+
+
+def test_matched_condition_guards_delete(spark, table):
+    src = spark.createDataFrame([(i,) for i in range(200, 220)], "id long")
+    merge_into(
+        table, spark, src, on="id",
+        when_matched="delete", when_not_matched="skip",
+        matched_condition="grp = '3'",
+    )
+    got = _scan_pdf(table, spark)
+    # only ids in [200,220) with grp==3 (id%10==3) removed: 203, 213
+    assert set(range(200, 220)) - set(got.id) == {203, 213}
+
+
+def test_custom_assignments_see_pre_update_row(spark, table):
+    # both expressions reference `val`; each must see the PRE-update
+    # value, not the other assignment's output
+    src = spark.createDataFrame(
+        [(7, "S")], "id long, val string"
+    )
+    merge_into(
+        table, spark, src, on="id",
+        assignments={"val": "concat(src_val, ':', val)", "grp": "val"},
+        when_not_matched="skip",
+    )
+    got = _scan_pdf(table, spark)
+    r = got[got.id == 7].iloc[0]
+    assert r.val == "S:v0-7"
+    assert r.grp == "v0-7"  # pre-update val, not "S:v0-7"
+
+
+def test_assignments_require_update_mode(spark, table):
+    src = spark.createDataFrame([(1, "x")], "id long, val string")
+    with pytest.raises(Pi2SparkError, match="update"):
+        merge_into(
+            table, spark, src, on="id",
+            when_matched="delete", assignments={"val": "'x'"},
+        )
+
+
+def test_assignment_target_must_be_non_key_column(spark, table):
+    src = spark.createDataFrame([(1, "x")], "id long, val string")
+    with pytest.raises(Pi2SparkError, match="non-key"):
+        merge_into(table, spark, src, on="id", assignments={"id": "id + 1"})
