@@ -29,7 +29,15 @@ their file churn is not append data; ``option("ignore_changes",
 "true")`` skips them instead (Delta's ``ignoreChanges``), with the
 documented caveat that rewritten rows are NOT re-delivered. The
 snapshot ``parent_id`` chain is verified over every consumed range
-(the contiguity guard from ``Table.changes``).
+(the contiguity guard from ``Table.changes``). Trigger sizing:
+``option("max_snapshots_per_trigger", N)`` /
+``option("max_files_per_trigger", M)`` bound how far each micro-batch
+advances (Delta's ``maxFilesPerTrigger``), computed from
+snapshot-summary file-count deltas — metadata only. Across restarts
+the limit base re-seeds from the first batch's committed range (the
+Python source API does not replay the checkpointed offset up front),
+so a restarted stream may spend a few empty triggers catching its
+base up before resuming normal paced delivery.
 
 100 TB shape: offsets and partition planning are manifest metadata
 operations on the driver (no data read); each ``InputPartition``
@@ -341,24 +349,80 @@ class Pi2SparkStreamReader(DataSourceStreamReader):
         self._ignore_changes = str(
             options.get("ignore_changes", "false")
         ).lower() in ("1", "true", "yes")
+        # trigger rate limits (Delta's maxFilesPerTrigger analogue):
+        # cap how far latestOffset advances past the last batch end.
+        # File counts come from snapshot-summary total-files deltas —
+        # metadata only, no manifest read at offset time.
+        self._max_snaps = int(self._options.get("max_snapshots_per_trigger", 0)) or None
+        self._max_files = int(self._options.get("max_files_per_trigger", 0)) or None
+        # rate-limit base tracker. Spark may call latestOffset BEFORE
+        # initialOffset on the first batch, so the base starts from the
+        # configured start (fresh streams are exactly right). After a
+        # checkpoint restart the committed offset is not replayed
+        # through this reader, so the base starts stale and partitions()
+        # re-seeds it from the actual batch range — a capped-from-behind
+        # latestOffset still advances ≥1 snapshot per trigger, so the
+        # stream self-heals in at most a few (empty) triggers.
+        start = self._options.get("starting_snapshot_id")
+        self._last_end: int = (
+            int(start)
+            if start is not None
+            else int(self._table.current_snapshot_id() or 0)
+        )
 
     def initialOffset(self):  # noqa: N802
         start = self._options.get("starting_snapshot_id")
         if start is not None:
-            return {"snapshot_id": int(start)}
-        # default: only data appended AFTER the stream starts (Delta's
-        # default startingVersion=latest semantics)
-        cur = self._table.current_snapshot_id()
-        return {"snapshot_id": int(cur or 0)}
+            off = int(start)
+        else:
+            # default: only data appended AFTER the stream starts
+            # (Delta's default startingVersion=latest semantics)
+            off = int(self._table.current_snapshot_id() or 0)
+        self._last_end = max(self._last_end, off)
+        return {"snapshot_id": off}
 
     def latestOffset(self):  # noqa: N802
-        cur = self._table.current_snapshot_id()
-        return {"snapshot_id": int(cur or 0)}
+        cur = int(self._table.current_snapshot_id() or 0)
+        base = self._last_end
+        if cur <= base or (self._max_snaps is None and self._max_files is None):
+            if cur > base:
+                self._last_end = cur
+            return {"snapshot_id": cur}
+        snaps = sorted(
+            (s for s in self._table.snapshots() if base < s["snapshot_id"] <= cur),
+            key=lambda s: s["snapshot_id"],
+        )
+        prev_total = 0
+        if base:
+            b = next(
+                (s for s in self._table.snapshots() if s["snapshot_id"] == base), None
+            )
+            if b is None:
+                # base expired: let partitions() raise the proper error
+                self._last_end = cur
+                return {"snapshot_id": cur}
+            prev_total = int(b.get("summary", {}).get("total-files", 0))
+        capped, files = base, 0
+        for i, s in enumerate(snaps):
+            tot = int(s.get("summary", {}).get("total-files", 0))
+            if s["operation"] == "append":
+                files += max(0, tot - prev_total)
+            prev_total = tot
+            capped = s["snapshot_id"]  # always ≥1 snapshot: progress
+            if self._max_snaps is not None and i + 1 >= self._max_snaps:
+                break
+            if self._max_files is not None and files >= self._max_files:
+                break
+        self._last_end = capped
+        return {"snapshot_id": capped}
 
     def partitions(self, start, end):
         from pi2spark.table import DataFile
 
         lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        # re-seed the rate-limit base from the actual batch range
+        # (post-restart, `lo` is the checkpoint-committed offset)
+        self._last_end = max(self._last_end, lo, hi)
         if hi <= lo:
             return [self._empty_partition()]
         snaps = sorted(self._table.snapshots(), key=lambda s: s["snapshot_id"])

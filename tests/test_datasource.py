@@ -414,3 +414,54 @@ def test_columns_option_projection_pushdown(ranged_table, spark):
     assert only_id.columns == ["id"] and only_id.count() == 400
     with pytest.raises(Exception, match="unknown column"):
         spark.read.format("pi2spark").option("columns", "nope").load(t.root).count()
+
+
+def test_stream_rate_limit_snapshots_per_trigger(spark, tmp_path):
+    # drive the reader's offset protocol directly: 4 append snapshots,
+    # max_snapshots_per_trigger=1 -> one snapshot per latestOffset step
+    from pi2spark.datasource import Pi2SparkStreamReader
+    from pi2spark.table import Table
+
+    t = Table.create(str(tmp_path / "rl"), properties={"stats.columns": ["id"]})
+    for i in range(4):
+        t.append(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id").coalesce(1), spark
+        )
+    r = Pi2SparkStreamReader(
+        {"path": t.root, "starting_snapshot_id": "0", "max_snapshots_per_trigger": "1"}
+    )
+    off = r.initialOffset()
+    ends = []
+    for _ in range(4):
+        nxt = r.latestOffset()
+        ends.append(nxt["snapshot_id"])
+        r.partitions(off, nxt)
+        off = nxt
+    snaps = sorted(s["snapshot_id"] for s in t.snapshots())
+    assert ends == snaps  # one snapshot per trigger, in order
+    assert r.latestOffset() == off  # caught up: offset stable
+
+
+def test_stream_rate_limit_files_per_trigger(spark, tmp_path):
+    # appends of 3 files each; max_files_per_trigger=4 -> two snapshots
+    # per trigger (3 files < 4 -> take another; 6 >= 4 -> stop)
+    from pi2spark.datasource import Pi2SparkStreamReader
+    from pi2spark.table import Table
+
+    t = Table.create(str(tmp_path / "rlf"), properties={"stats.columns": ["id"]})
+    for i in range(4):
+        t.append(
+            spark.range(i * 30, (i + 1) * 30).selectExpr("id").repartition(3), spark
+        )
+    r = Pi2SparkStreamReader(
+        {"path": t.root, "starting_snapshot_id": "0", "max_files_per_trigger": "4"}
+    )
+    off = r.initialOffset()
+    snaps = sorted(s["snapshot_id"] for s in t.snapshots())
+    first = r.latestOffset()
+    assert first["snapshot_id"] == snaps[1]  # two snapshots consumed
+    parts = r.partitions(off, first)
+    n_files = sum(len(p.paths) for p in parts)
+    assert n_files == 6
+    second = r.latestOffset()
+    assert second["snapshot_id"] == snaps[3]  # remaining two
