@@ -37,6 +37,51 @@ import json
 import sys
 
 
+def _coerce(v: str):
+    """CLI predicate value: int, then float, else string."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
+
+
+def _parse_where(where: str):
+    """Comma-joined conjunction of stats predicates:
+    ``col=v`` (eq), ``col=a|b|c`` (IN), ``col<=v``, ``col>=v``,
+    ``col=lo..hi`` (BETWEEN)."""
+    from pi2spark.table import ColumnPredicate
+
+    preds = []
+    for term in filter(None, (s.strip() for s in where.split(","))):
+        if "<=" in term:
+            col, v = term.split("<=", 1)
+            preds.append(ColumnPredicate(col.strip(), "le", _coerce(v.strip())))
+        elif ">=" in term:
+            col, v = term.split(">=", 1)
+            preds.append(ColumnPredicate(col.strip(), "ge", _coerce(v.strip())))
+        elif "=" in term:
+            col, v = term.split("=", 1)
+            col, v = col.strip(), v.strip()
+            if ".." in v:
+                lo, hi = v.split("..", 1)
+                preds.append(
+                    ColumnPredicate(col, "between", (_coerce(lo), _coerce(hi)))
+                )
+            elif "|" in v:
+                preds.append(
+                    ColumnPredicate(
+                        col, "in", values=tuple(_coerce(x) for x in v.split("|"))
+                    )
+                )
+            else:
+                preds.append(ColumnPredicate(col, "eq", _coerce(v)))
+        else:
+            raise SystemExit(f"cannot parse --where term {term!r}")
+    return preds
+
+
 def _spark(args):
     # under spark-submit the session master/conf come from the submit
     # command; builder.getOrCreate() attaches to it
@@ -60,7 +105,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pi2spark", description=__doc__)
     p.add_argument("command", choices=[
         "init", "ingest", "compact", "cluster", "shred", "rotate", "expire",
-        "orphans", "verify", "status", "maintain",
+        "orphans", "verify", "status", "maintain", "delete", "update",
     ])
     p.add_argument("--table", required=True, help="table root directory")
     p.add_argument("--registry", help="KMS command-log path (default <table>/../kms.jsonl)")
@@ -82,6 +127,13 @@ def main(argv=None) -> int:
                    help="verify: distribute keys via join instead of broadcast")
     p.add_argument("--local-cores", type=int, default=0,
                    help="run on local[N] instead of the submitted master")
+    p.add_argument("--where", default="",
+                   help="delete/update: comma-joined stats predicates — "
+                        "col=v, col=a|b (IN), col<=v, col>=v, col=lo..hi (BETWEEN)")
+    p.add_argument("--condition", default=None,
+                   help="delete/update: extra row-level SQL condition (no pruning)")
+    p.add_argument("--set", action="append", default=None, metavar="COL=EXPR",
+                   help="update: SET assignment, repeatable; EXPR is SQL over the pre-update row")
     args = p.parse_args(argv)
 
     import os
@@ -213,6 +265,34 @@ def main(argv=None) -> int:
             t, spark, reg, subjects, target_file_bytes=target, pass_id=args.pass_id
         )
         out.update(r.__dict__ | {"details": r.details, "subjects": subjects})
+    elif args.command == "delete":
+        from pi2spark.maintenance import delete_where
+
+        preds = _parse_where(args.where)
+        if not preds and not args.condition:
+            print("error: delete needs --where and/or --condition", file=sys.stderr)
+            return 2
+        r = delete_where(t, spark, preds, extra_condition=args.condition,
+                         target_file_bytes=target, pass_id=args.pass_id)
+        out.update(r.__dict__ | {"details": r.details})
+    elif args.command == "update":
+        from pi2spark.maintenance import update_where
+
+        preds = _parse_where(args.where)
+        if not args.set:
+            print("error: update needs at least one --set COL=EXPR", file=sys.stderr)
+            return 2
+        assignments = {}
+        for a in args.set:
+            if "=" not in a:
+                print(f"error: bad --set {a!r} (want COL=EXPR)", file=sys.stderr)
+                return 2
+            c, e = a.split("=", 1)
+            assignments[c.strip()] = e.strip()
+        r = update_where(t, spark, preds, assignments,
+                         extra_condition=args.condition,
+                         target_file_bytes=target, pass_id=args.pass_id)
+        out.update(r.__dict__ | {"details": r.details})
     elif args.command == "verify":
         from pi2spark.verify import content_digest
 

@@ -76,3 +76,37 @@ def test_cli_lifecycle(tmp_path, capsys, spark):
     kms = os.path.join(os.path.dirname(tbl), "kms.jsonl")
     cmds = [json.loads(l) for l in open(kms)]
     assert any(c["command"] == "FORGET" and c["subject_id"] == "org0/megarepo" for c in cmds)
+
+
+def test_cli_delete_and_update(tmp_path, capsys, spark):
+    tbl = str(tmp_path / "du")
+    common = ["--table", tbl, "--local-cores", "8"]
+    _run(capsys, "init", *common)
+    _run(capsys, "ingest", *common, "--rows", "600", "--seed", "7")
+
+    r = _run(
+        capsys, "update", *common,
+        "--where", "lang=go|rust",
+        "--set", "path=concat('x/', path)",
+        "--condition", "length(path) > 3",
+    )
+    assert r["details"]["affected_files"] >= 1
+
+    r = _run(capsys, "delete", *common, "--where", "lang=go")
+    assert r["details"]["affected_files"] >= 1
+    v = _run(capsys, "verify", *common)
+    assert v["rows"] < 600
+
+
+def test_parse_where_grammar():
+    from pi2spark.cli import _parse_where
+
+    preds = {p.column: p for p in _parse_where(
+        "a=1, b=x|y, c<=10, d>=2.5, e=3..7, f=hi"
+    )}
+    assert preds["a"].op == "eq" and preds["a"].value == 1
+    assert preds["b"].op == "in" and preds["b"].values == ("x", "y")
+    assert preds["c"].op == "le" and preds["c"].value == 10
+    assert preds["d"].op == "ge" and preds["d"].value == 2.5
+    assert preds["e"].op == "between" and preds["e"].value == (3, 7)
+    assert preds["f"].op == "eq" and preds["f"].value == "hi"
