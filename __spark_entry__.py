@@ -499,6 +499,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_stats(_load(spark, sf_dir, "documents"))
 
+    def q_tfidf_topk(spark, sf_dir):
+        """Top-k TF-IDF terms per document
+        (pi2spark.textops.tfidf_topk): keyword extraction over the
+        corpus — two map-side-combined shuffles plus a per-document
+        window (never a global sort); scores rounded before ranking so
+        ties break identically across engines."""
+        from pi2spark.textops import tfidf_topk
+
+        return tfidf_topk(_load(spark, sf_dir, "documents"), k=3)
+
     def q_pack_sequences(spark, sf_dir):
         """Concat-and-chunk sequence packing for LLM pretraining
         (pi2spark.textops.pack_sequences): per-source document streams
@@ -1211,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
         "corpus_stats": q_corpus_stats,
+        "tfidf_topk": q_tfidf_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_verified": q_near_dup_verified,
         "dedup_components": q_dedup_components,
@@ -1455,6 +1466,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
                        AS total_ws_tokens
             FROM documents GROUP BY lang
+        """,
+        "tfidf_topk": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM toks WHERE token <> '' GROUP BY doc_id, token
+            ), dfq AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                     round(tf.tf * ln(n.n * 1.0 / dfq.df), 6) AS tfidf
+              FROM tf JOIN dfq USING (token) CROSS JOIN n
+            ), ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                          PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+                        ) AS INT) AS rank
+              FROM scored
+            )
+            SELECT doc_id, token, rank, tf, df, tfidf
+            FROM ranked WHERE rank <= 3
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

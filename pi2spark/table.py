@@ -497,6 +497,40 @@ class Table:
     def snapshots(self) -> list[dict]:
         return self._metadata()["snapshots"]
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Snapshot history as a DataFrame (Iceberg ``history`` /
+        Delta ``DESCRIBE HISTORY`` analogue): one row per snapshot
+        with id, parent, commit time, operation, file/row/byte totals,
+        whether the snapshot is the current one, and any tags pinning
+        it. Metadata-sized by construction — built on the driver from
+        the snapshot log, no data files touched."""
+        meta = self._metadata()
+        cur = meta.get("current_snapshot_id")
+        refs = meta.get("refs", {})
+        by_snap: dict[int, list[str]] = {}
+        for name, ref in refs.items():
+            by_snap.setdefault(int(ref["snapshot_id"]), []).append(name)
+        rows = [
+            (
+                int(s["snapshot_id"]),
+                None if s.get("parent_id") is None else int(s["parent_id"]),
+                int(s["timestamp_ms"]),
+                s["operation"],
+                int(s.get("summary", {}).get("total-files", 0)),
+                int(s.get("summary", {}).get("total-rows", 0)),
+                int(s.get("summary", {}).get("total-bytes", 0)),
+                s["snapshot_id"] == cur,
+                sorted(by_snap.get(int(s["snapshot_id"]), [])),
+            )
+            for s in meta["snapshots"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, timestamp_ms long, "
+            "operation string, total_files long, total_rows long, "
+            "total_bytes long, is_current boolean, tags array<string>",
+        )
+
     def current_snapshot_id(self) -> int | None:
         return self._metadata()["current_snapshot_id"]
 

@@ -425,6 +425,57 @@ def vocab_topk(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword /
+    salient-term extraction over a corpus. Tokens are lowercased
+    whitespace words; tf = in-doc count, idf = ln(N / df) with df =
+    number of documents containing the token. Returns
+    ``(id, token, rank, tf, df, tfidf)`` with deterministic ties
+    (score desc, token asc).
+
+    100 TB shape: two shuffles, both on the narrowed relations — the
+    per-(doc, token) count groupBy (map-side combined over exploded
+    tokens) and the token → document-frequency groupBy (carries one
+    row per DISTINCT (doc, token), already reduced). The df relation
+    joins back by token: Spark/AQE picks broadcast when the vocabulary
+    is small and a shuffled hash join otherwise — no driver collect at
+    any size. The final top-k is a window partitioned BY DOCUMENT
+    (never a global sort), so state is k rows per partition-local doc
+    group."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n")).withColumn("__j", F.lit(1))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .withColumn("__j", F.lit(1))
+        .join(F.broadcast(n_docs), "__j")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6),
+        )
+        .drop("__j", "__n")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "rank", "tf", "df", "tfidf")
+    )
+
+
 def token_ngram_array(text_col: str = "text", n: int = 8) -> F.Column:
     """Array of token ``n``-grams (lowercased, whitespace-tokenized,
     space-joined) — pure JVM array expressions, so n-gram generation

@@ -165,3 +165,24 @@ def test_schema_union_survives_append_after_cluster(spark, tmp_path):
     r = cluster(t, spark, target_file_bytes=16 << 10)
     assert not r.skipped
     assert t.scan(spark).filter(F.col("zkey").isNull()).count() == 0
+
+
+def test_history_dataframe(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pi2spark.maintenance import compact
+    from pi2spark.table import Table
+
+    t = Table.create(str(tmp_path / "hist"), properties={"stats.columns": ["id"]})
+    t.append(spark.range(100).selectExpr("id").repartition(4), spark)
+    t.append(spark.range(100, 150).selectExpr("id").repartition(2), spark)
+    t.tag("after-loads")
+    compact(t, spark, target_file_bytes=1 << 20)
+
+    h = t.history(spark).orderBy("snapshot_id").collect()
+    assert [r.operation for r in h] == ["append", "append", "compact"]
+    assert h[0].parent_id is None and h[1].parent_id == h[0].snapshot_id
+    assert h[-1].is_current and not h[0].is_current
+    assert h[1].tags == ["after-loads"] and h[0].tags == []
+    assert h[1].total_rows == 150  # summaries carry cumulative totals
+    assert all(r.timestamp_ms > 0 for r in h)

@@ -373,3 +373,39 @@ def test_corpus_stats_exact_quantiles(spark):
     assert en.p25_chars == 17.5 and en.p50_chars == 25.0 and en.p75_chars == 32.5
     de = rows["de"]
     assert de.n_docs == 1 and de.p50_chars == 7.0 and de.total_ws_tokens == 1
+
+
+def test_tfidf_topk_known_corpus(spark):
+    import math
+
+    from pi2spark.textops import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: b scores 1*ln(2) > a scores 2*ln(1)=0
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert d1[0].token == "b" and abs(d1[0].tfidf - round(math.log(2), 6)) < 1e-9
+    assert d1[1].token == "a" and d1[1].tfidf == 0.0
+    # doc 2: c (ln 2) then a (0)
+    d2 = sorted(by_doc[2], key=lambda r: r.rank)
+    assert [r.token for r in d2] == ["c", "a"]
+    assert d2[0].df == 1 and d2[1].df == 2
+
+
+def test_tfidf_topk_rank_ties_break_on_token(spark):
+    from pi2spark.textops import tfidf_topk
+
+    # x and y have identical tf and df -> identical score; token asc
+    df = spark.createDataFrame(
+        [(1, "y x"), (2, "z")], "doc_id long, text string"
+    )
+    d1 = sorted(
+        (r for r in tfidf_topk(df, k=2).collect() if r.doc_id == 1),
+        key=lambda r: r.rank,
+    )
+    assert [r.token for r in d1] == ["x", "y"]
