@@ -443,10 +443,13 @@ def tfidf_topk(
     tokens) and the token → document-frequency groupBy (carries one
     row per DISTINCT (doc, token), already reduced). The df relation
     joins back by token: Spark/AQE picks broadcast when the vocabulary
-    is small and a shuffled hash join otherwise — no driver collect at
-    any size. The final top-k is a window partitioned BY DOCUMENT
-    (never a global sort), so state is k rows per partition-local doc
-    group."""
+    is small and a shuffled hash join otherwise. The corpus size N is
+    a single map-side-combined ``count()`` pre-pass folded in as a
+    literal (the same shape as Spark MLlib's ``IDF.fit``) — attaching
+    it as a 1-row joined relation would constant-fold into a
+    nested-loop join, which the plan audit rightly rejects. The final
+    top-k is a window partitioned BY DOCUMENT (never a global sort),
+    so state is k rows per partition-local doc group."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -454,17 +457,11 @@ def tfidf_topk(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias("token"),
     ).filter(F.col("token") != "")
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(F.count(F.lit(1)).alias("__n")).withColumn("__j", F.lit(1))
+    n_docs = df.count()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(dfreq, "token")
-        .withColumn("__j", F.lit(1))
-        .join(F.broadcast(n_docs), "__j")
-        .withColumn(
-            "tfidf",
-            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6),
-        )
-        .drop("__j", "__n")
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("token").asc()
