@@ -963,6 +963,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_mv_incremental(spark, sf_dir):
+        """Incrementally-maintained materialized aggregate
+        (pi2spark/mv.py): bootstrap a per-language count/sum/avg view,
+        mutate the source across three snapshots (append, keyed
+        update-MERGE, delete-MERGE), refresh ONCE through the change
+        feed — refresh cost ∝ the delta, never a rescan — and return
+        the view, which the oracle recomputes as a plain GROUP BY over
+        the same final state."""
+        from pi2spark.cdc import ChangeFeedCursor
+        from pi2spark.maintenance import merge_into
+        from pi2spark.mv import bootstrap_aggregate, read_aggregate, refresh_aggregate
+        from pi2spark.table import Table
+
+        docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+        root = tempfile.mkdtemp(prefix="pi2spark-mv-")
+        props = {"stats.columns": ["doc_id"], "bloom.columns": ["doc_id"]}
+        src = Table.create(os.path.join(root, "src"), properties=props)
+        mv = Table.create(os.path.join(root, "mv"), properties={"stats.columns": ["lang"]})
+        cur = ChangeFeedCursor(os.path.join(root, "cursor"), name="mvq")
+
+        src.append(docs.filter(F.col("doc_id") % 2 == 0).repartition(4), spark)
+        bootstrap_aggregate(src, mv, spark, cur, ["lang"], ["n_chars"])
+
+        src.append(docs.filter(F.col("doc_id") % 2 == 1).repartition(4), spark)
+        upd = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        )
+        merge_into(src, spark, upd, on="doc_id")
+        dels = docs.filter(
+            (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0)
+        ).select("doc_id")
+        merge_into(src, spark, dels, on="doc_id", when_matched="delete", when_not_matched="skip")
+
+        refresh_aggregate(src, mv, spark, cur, ["lang"], ["n_chars"])
+        out = read_aggregate(mv, spark, ["lang"], ["n_chars"], avgs=True)
+        return out.select(
+            "lang",
+            F.col("cnt").alias("n_docs"),
+            F.col("sum_n_chars").alias("sum_chars"),
+            F.round(F.col("avg_n_chars"), 6).alias("avg_chars"),
+        ).orderBy("lang")
+
     def q_snapshot_rollback(spark, sf_dir):
         """Snapshot rollback + tags (B1 extension): tag the clean
         snapshot, append junk, roll back to the tag — the rollback is a
@@ -1242,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where": q_delete_where,
         "update_where": q_update_where,
         "cdc_mirror": q_cdc_mirror,
+        "mv_incremental": q_mv_incremental,
         "snapshot_rollback": q_snapshot_rollback,
         "schema_evolution": q_schema_evolution,
         "datasource_roundtrip": q_datasource_roundtrip,
@@ -1724,6 +1767,19 @@ def oracle_sql() -> dict[str, str]:
                  )
             SELECT doc_id, source, lang, sha256(text) AS text_sha
             FROM kept ORDER BY doc_id
+        """,
+        "mv_incremental": """
+            WITH final AS (
+              SELECT lang,
+                     CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+              FROM documents
+              WHERE NOT (doc_id % 13 = 0 AND doc_id % 7 <> 0)
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM final GROUP BY lang ORDER BY lang
         """,
         "snapshot_rollback": """
             SELECT doc_id, source, lang, sha256(text) AS text_sha

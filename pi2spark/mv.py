@@ -1,0 +1,260 @@
+"""Incrementally-maintained materialized aggregates over a pi2spark
+table, refreshed from the row-level change feed.
+
+A materialized view is the piece that makes CDC pay off at 100 TB:
+re-running ``GROUP BY`` over the whole table on every dashboard tick
+costs a full scan, while an incremental refresh costs only the files
+the consumed snapshots touched — ``Table.changes()`` reads the diffed
+files, the delta aggregate is one map-side-combined shuffle on the
+group keys, and the apply is a stats/bloom-pruned ``merge_into``
+against the (small) MV table. Refresh cost is proportional to the
+CHANGE, not the table.
+
+Only algebraic aggregates maintainable under row deletion are offered:
+``count(*)``, per-measure ``sum`` and non-null count (from which
+``avg`` derives at read time). ``min``/``max`` are deliberately
+absent — a deleted extremum forces a rescan of its group, which is a
+different (recompute-on-invalidation) machine.
+
+Exactly-once protocol: additive deltas are NOT idempotent under
+range drift, so — unlike ``replicate_changes``, whose keep-LAST merge
+converges even when a crash replay consumes a larger range — a refresh
+first durably records its intended ``(from, to]`` snapshot range (the
+atomic-rename idiom of ``ChangeFeedCursor``), then applies merges
+whose pass ids are deterministic in that range, then acks the cursor
+and clears the intent. A crash replay finds the intent, re-derives the
+IDENTICAL range and pass ids, and the committed ``PassLedger`` entries
+dedupe both merges.
+
+NULL semantics match SQL exactly: per measure the MV stores the
+coalesced running sum next to a non-null count, and ``read_aggregate``
+renders ``sum`` as NULL when that count is zero — so the view equals a
+fresh ``GROUP BY`` recompute bit-for-bit, nullable measures included.
+
+Reference analogue: pi2schema's Kafka consumers keep per-subject
+aggregate state from the command log (pi2schema
+kms/KafkaSecretKeyStore.java — the materialized command-topic view);
+this is the lakehouse form, with the snapshot log as the log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pi2spark.cdc import ChangeFeedCursor
+from pi2spark.errors import Pi2SparkError
+from pi2spark.table import Table
+
+#: change types contributing +1 / -1 to the delta signs
+_POS = ("insert", "update_postimage")
+_NEG = ("delete", "update_preimage")
+
+
+def _agg_columns(sums: list[str]) -> list[str]:
+    cols = ["cnt"]
+    for c in sums:
+        cols += [f"sum_{c}", f"nnz_{c}"]
+    return cols
+
+
+def _full_aggregate(df: DataFrame, group_by: list[str], sums: list[str]) -> DataFrame:
+    """The recompute form — also the definition the incremental path
+    must stay equal to (tests assert parity after every refresh)."""
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c in sums:
+        aggs.append(F.sum(c).alias(f"sum_{c}"))
+        aggs.append(F.count(c).alias(f"nnz_{c}"))
+    out = df.groupBy(*group_by).agg(*aggs)
+    # normalize: stored sum is coalesced to the type's zero so the
+    # additive assignments never hit NULL arithmetic
+    for c in sums:
+        out = out.withColumn(
+            f"sum_{c}", F.coalesce(F.col(f"sum_{c}"), F.lit(0).cast(out.schema[f"sum_{c}"].dataType))
+        )
+    return out
+
+
+def _delta_aggregate(changes: DataFrame, group_by: list[str], sums: list[str]) -> DataFrame:
+    """Signed delta per group over a change batch: +1 for inserts and
+    update postimages, -1 for deletes and update preimages. An update
+    that moves a row BETWEEN groups therefore decrements the old group
+    and increments the new one, and a shred's delete+insert rendering
+    nets the count while adjusting the sums — no special cases."""
+    sign = (
+        F.when(F.col("_change_type").isin(*_POS), F.lit(1))
+        .when(F.col("_change_type").isin(*_NEG), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    aggs = [F.sum(sign).alias("cnt")]
+    zero_pred = F.col("cnt") == 0
+    for c in sums:
+        styp = changes.schema[c].dataType
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNotNull(), sign * F.col(c))),
+                F.lit(0).cast(styp),
+            ).alias(f"sum_{c}")
+        )
+        aggs.append(F.sum(F.when(F.col(c).isNotNull(), sign).otherwise(F.lit(0))).alias(f"nnz_{c}"))
+        zero_pred = zero_pred & (F.col(f"sum_{c}") == 0) & (F.col(f"nnz_{c}") == 0)
+    delta = changes.groupBy(*group_by).agg(*aggs)
+    # all-zero groups (a row inserted and deleted inside the range)
+    # would merge as no-op updates or cnt=0 inserts — drop them
+    return delta.filter(~zero_pred)
+
+
+def _intent_path(cursor: ChangeFeedCursor) -> str:
+    return os.path.join(os.path.dirname(cursor.path), f"mv-intent-{cursor.name}.json")
+
+
+def _read_intent(cursor: ChangeFeedCursor) -> dict | None:
+    try:
+        with open(_intent_path(cursor)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _write_intent(cursor: ChangeFeedCursor, frm: int, to: int) -> None:
+    path = _intent_path(cursor)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"from": frm, "to": to}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _clear_intent(cursor: ChangeFeedCursor) -> None:
+    try:
+        os.remove(_intent_path(cursor))
+    except FileNotFoundError:
+        pass
+
+
+def bootstrap_aggregate(
+    src: Table,
+    mv: Table,
+    spark: SparkSession,
+    cursor: ChangeFeedCursor,
+    group_by,
+    sums=(),
+) -> int:
+    """Initial full materialization: one ``GROUP BY`` over the
+    source's CURRENT snapshot, merged into the MV (insert-only on an
+    empty MV, repair-upsert on a half-built one), plus a stale-group
+    delete sweep — the same crash-replay repair ``bootstrap_mirror``
+    does, because a replay may run against a newer source snapshot
+    whose change rows the ack then skips past."""
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    sums = [sums] if isinstance(sums, str) else list(sums)
+    from pi2spark.maintenance import merge_into
+
+    sid = src.current_snapshot_id()
+    if sid is None:
+        raise Pi2SparkError("source table has no snapshot to bootstrap from")
+    full = _full_aggregate(src.scan(spark), keys, sums)
+    merge_into(mv, spark, full, on=keys, pass_id=f"{cursor.name}-mvboot-{sid}")
+    stale = (
+        mv.scan(spark).select(*keys)
+        .join(full.select(*keys), on=keys, how="left_anti")
+    )
+    if not stale.isEmpty():
+        merge_into(
+            mv, spark, stale, on=keys,
+            when_matched="delete", when_not_matched="skip",
+            pass_id=f"{cursor.name}-mvboot-del-{sid}",
+        )
+    cursor.ack(sid)
+    _clear_intent(cursor)
+    return sid
+
+
+def refresh_aggregate(
+    src: Table,
+    mv: Table,
+    spark: SparkSession,
+    cursor: ChangeFeedCursor,
+    group_by,
+    sums=(),
+) -> dict:
+    """One incremental refresh (call repeatedly / on a schedule, the
+    ``maintain()`` pattern). Consumes ``changes()`` over ``(cursor,
+    current]``, folds the signed per-group delta into the MV with one
+    additive MERGE (custom SET: ``cnt = cnt + src_cnt`` etc., new
+    groups insert), then deletes groups whose count reached zero with
+    a second, condition-guarded MERGE over the same delta keys.
+
+    Returns ``{"from":..., "to":..., "groups": n}``; a no-op poll
+    returns ``groups=0`` without running any Spark job."""
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    sums = [sums] if isinstance(sums, str) else list(sums)
+    from pi2spark.maintenance import merge_into
+
+    frm = cursor.position
+    if frm is None:
+        sid = bootstrap_aggregate(src, mv, spark, cursor, keys, sums)
+        return {"from": None, "to": sid, "bootstrap": True}
+
+    intent = _read_intent(cursor)
+    if intent is not None and intent["from"] == frm:
+        to = intent["to"]  # crash replay: reuse the recorded range
+    else:
+        to = src.current_snapshot_id()
+        if to == frm:
+            return {"from": frm, "to": to, "groups": 0}
+        _write_intent(cursor, frm, to)
+
+    delta = _delta_aggregate(src.changes(spark, frm, to), keys, sums).localCheckpoint(
+        eager=True
+    )
+    try:
+        n_groups = delta.count()
+        if n_groups:
+            assignments = {"cnt": "cnt + src_cnt"}
+            for c in sums:
+                assignments[f"sum_{c}"] = f"sum_{c} + src_sum_{c}"
+                assignments[f"nnz_{c}"] = f"nnz_{c} + src_nnz_{c}"
+            merge_into(
+                mv, spark, delta, on=keys,
+                assignments=assignments,
+                pass_id=f"{cursor.name}-mvdelta-{frm}-{to}",
+            )
+            merge_into(
+                mv, spark, delta.select(*keys), on=keys,
+                when_matched="delete", when_not_matched="skip",
+                matched_condition="cnt = 0",
+                pass_id=f"{cursor.name}-mvzero-{frm}-{to}",
+            )
+    finally:
+        delta.unpersist()
+    cursor.ack(to)
+    _clear_intent(cursor)
+    return {"from": frm, "to": to, "groups": n_groups}
+
+
+def read_aggregate(mv: Table, spark: SparkSession, group_by, sums=(), avgs: bool = False) -> DataFrame:
+    """The view users query: group keys, ``cnt``, per-measure ``sum_*``
+    rendered with SQL NULL semantics (NULL when the group holds no
+    non-null values) and, optionally, ``avg_*`` (sum over non-null
+    count — SQL ``AVG`` ignores NULLs). Equal to a fresh ``GROUP BY``
+    recompute of the source by construction."""
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    sums = [sums] if isinstance(sums, str) else list(sums)
+    df = mv.scan(spark)
+    cols = [*keys, F.col("cnt")]
+    for c in sums:
+        cols.append(
+            F.when(F.col(f"nnz_{c}") == 0, F.lit(None)).otherwise(F.col(f"sum_{c}")).alias(f"sum_{c}")
+        )
+        if avgs:
+            cols.append(
+                F.when(F.col(f"nnz_{c}") == 0, F.lit(None))
+                .otherwise(F.col(f"sum_{c}") / F.col(f"nnz_{c}"))
+                .alias(f"avg_{c}")
+            )
+    return df.select(*cols)

@@ -1,0 +1,143 @@
+"""Incrementally-maintained materialized aggregates (pi2spark/mv.py):
+every refresh must leave read_aggregate() equal to a fresh GROUP BY
+recompute of the source — inserts, keyed updates, deletes, emptied
+groups, NULL measures, and crash replays included."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pi2spark.cdc import ChangeFeedCursor
+from pi2spark.maintenance import compact, merge_into
+from pi2spark.mv import (
+    _full_aggregate,
+    bootstrap_aggregate,
+    read_aggregate,
+    refresh_aggregate,
+)
+from pi2spark.table import Table
+
+KEYS = ["grp"]
+SUMS = ["val"]
+
+
+def _mk(spark, tmp_path, rows):
+    src = Table.create(str(tmp_path / "src"), properties={"stats.columns": ["id"], "bloom.columns": ["id"]})
+    mv = Table.create(str(tmp_path / "mv"), properties={"stats.columns": ["grp"]})
+    cur = ChangeFeedCursor(str(tmp_path / "cur"), name="mvtest")
+    df = spark.createDataFrame(rows, "id long, grp string, val long")
+    src.append(df.repartition(3), spark)
+    return src, mv, cur
+
+
+def _assert_parity(spark, src, mv):
+    want = {
+        tuple(r)
+        for r in _full_aggregate(src.scan(spark).select("id", "grp", "val"), KEYS, SUMS)
+        .select("grp", "cnt", F.when(F.col("nnz_val") == 0, None).otherwise(F.col("sum_val")).alias("sum_val"))
+        .collect()
+    }
+    got = {tuple(r) for r in read_aggregate(mv, spark, KEYS, SUMS).collect()}
+    assert got == want, (got, want)
+
+
+def test_bootstrap_then_incremental_appends(spark, tmp_path):
+    src, mv, cur = _mk(spark, tmp_path, [(i, f"g{i % 3}", i) for i in range(30)])
+    r = refresh_aggregate(src, mv, spark, cur, KEYS, SUMS)
+    assert r.get("bootstrap")
+    _assert_parity(spark, src, mv)
+
+    src.append(spark.createDataFrame([(100 + i, f"g{i % 5}", 7) for i in range(20)], "id long, grp string, val long"), spark)
+    r = refresh_aggregate(src, mv, spark, cur, KEYS, SUMS)
+    assert r["groups"] > 0
+    _assert_parity(spark, src, mv)
+    # no-op poll runs nothing and stays equal
+    assert refresh_aggregate(src, mv, spark, cur, KEYS, SUMS)["groups"] == 0
+    _assert_parity(spark, src, mv)
+
+
+def test_updates_deletes_and_group_emptying(spark, tmp_path):
+    src, mv, cur = _mk(spark, tmp_path, [(i, "only" if i < 3 else f"g{i % 2}", i) for i in range(20)])
+    bootstrap_aggregate(src, mv, spark, cur, KEYS, SUMS)
+
+    # keyed update: move rows 0..2 OUT of group "only" (group empties)
+    upd = spark.createDataFrame([(i, "g0", 50 + i) for i in range(3)], "id long, grp string, val long")
+    merge_into(src, spark, upd, on="id")
+    # keyed delete of a few g1 rows
+    dels = spark.createDataFrame([(i,) for i in (5, 7, 9)], "id long")
+    merge_into(src, spark, dels, on="id", when_matched="delete", when_not_matched="skip")
+    compact(src, spark)  # row-preserving: must contribute nothing
+
+    refresh_aggregate(src, mv, spark, cur, KEYS, SUMS)
+    _assert_parity(spark, src, mv)
+    got = {r.grp for r in read_aggregate(mv, spark, KEYS, SUMS).collect()}
+    assert "only" not in got  # emptied group physically removed
+
+
+def test_null_measures_sql_semantics(spark, tmp_path):
+    rows = [(1, "a", None), (2, "a", None), (3, "b", 4)]
+    src, mv, cur = _mk(spark, tmp_path, rows)
+    bootstrap_aggregate(src, mv, spark, cur, KEYS, SUMS)
+    by = {r.grp: r for r in read_aggregate(mv, spark, KEYS, SUMS, avgs=True).collect()}
+    assert by["a"].cnt == 2 and by["a"].sum_val is None and by["a"].avg_val is None
+    assert by["b"].sum_val == 4 and by["b"].avg_val == 4.0
+    # a null-measure row deleted, a non-null one added to "a"
+    merge_into(src, spark, spark.createDataFrame([(1,)], "id long"), on="id",
+               when_matched="delete", when_not_matched="skip")
+    src.append(spark.createDataFrame([(10, "a", 9)], "id long, grp string, val long"), spark)
+    refresh_aggregate(src, mv, spark, cur, KEYS, SUMS)
+    _assert_parity(spark, src, mv)
+    by = {r.grp: r for r in read_aggregate(mv, spark, KEYS, SUMS).collect()}
+    assert by["a"].cnt == 2 and by["a"].sum_val == 9
+
+
+def test_crash_replay_does_not_double_count(spark, tmp_path, monkeypatch):
+    """Crash between apply and ack: the intent pins the range, the
+    replayed merges dedupe through the PassLedger, and a source that
+    advanced in the meantime is NOT consumed past the intent."""
+    import pi2spark.mv as mvmod
+
+    src, mv, cur = _mk(spark, tmp_path, [(i, f"g{i % 2}", 1) for i in range(10)])
+    bootstrap_aggregate(src, mv, spark, cur, KEYS, SUMS)
+    src.append(spark.createDataFrame([(50, "g0", 100)], "id long, grp string, val long"), spark)
+
+    real_ack = ChangeFeedCursor.ack
+    monkeypatch.setattr(ChangeFeedCursor, "ack", lambda self, sid: (_ for _ in ()).throw(RuntimeError("crash")))
+    with pytest.raises(RuntimeError):
+        refresh_aggregate(src, mv, spark, cur, KEYS, SUMS)
+    monkeypatch.setattr(ChangeFeedCursor, "ack", real_ack)
+
+    # source advances BETWEEN crash and replay
+    src.append(spark.createDataFrame([(51, "g1", 200)], "id long, grp string, val long"), spark)
+    r1 = refresh_aggregate(src, mv, spark, cur, KEYS, SUMS)  # replays pinned range only
+    r2 = refresh_aggregate(src, mv, spark, cur, KEYS, SUMS)  # then the tail
+    assert r1["to"] < r2["to"]
+    _assert_parity(spark, src, mv)
+    assert not os.path.exists(mvmod._intent_path(cur))
+
+
+def test_shred_propagates_into_aggregate(spark, tmp_path):
+    """A forget's shred emits delete+insert change pairs; the MV must
+    net the count and drop the shredded measure from the sums."""
+    from pi2spark.maintenance import shred
+
+    src = Table.create(str(tmp_path / "src"), properties={"stats.columns": ["repo"], "bloom.columns": ["repo"]})
+    mv = Table.create(str(tmp_path / "mv"), properties={"stats.columns": ["repo"]})
+    cur = ChangeFeedCursor(str(tmp_path / "cur"), name="mvshred")
+    df = spark.createDataFrame(
+        [(f"r{i % 4}", f"p{i}", i, bytearray(b"x"), False) for i in range(16)],
+        "repo string, path string, val long, content_enc binary, shredded boolean",
+    )
+    src.append(df.repartition(2), spark)
+    bootstrap_aggregate(src, mv, spark, cur, ["repo"], ["val"])
+    shred(src, spark, subjects=["r1"], envelope_columns=("content_enc",))
+    refresh_aggregate(src, mv, spark, cur, ["repo"], ["val"])
+    got = {r.repo: (r.cnt, r.sum_val) for r in read_aggregate(mv, spark, ["repo"], ["val"]).collect()}
+    # shred nulls the envelope, not val/repo: counts and sums survive
+    want = {
+        r.repo: (r.cnt, r.sum_val)
+        for r in _full_aggregate(src.scan(spark), ["repo"], ["val"])
+        .selectExpr("repo", "cnt", "sum_val").collect()
+    }
+    assert got == want
