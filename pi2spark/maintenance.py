@@ -1854,7 +1854,11 @@ def expire_snapshots(
             os.remove(p)
 
     n_deleted = 0
-    with ThreadPoolExecutor(max_workers=16) as ex:
+    # 32 in-flight unlinks: each is one blocking syscall round-trip
+    # (HTTP DELETE on object stores; intermittently-stalling virtio
+    # syscalls here) — absorption scales with in-flight count, and the
+    # pool is idle the rest of the pass
+    with ThreadPoolExecutor(max_workers=32) as ex:
         if distribute:
             for _ in ex.map(
                 _rm,

@@ -181,7 +181,10 @@ def _footer_stats(
             continue
         from pi2spark.bloom import build_bloom
 
-        tab = pq.read_table(abs_path, columns=[c])
+        # reuse the already-open ParquetFile: a second pq.read_table
+        # re-opened the file and re-parsed the footer per bloom column
+        # (2 opens/file x thousands of files per stats sweep)
+        tab = pf.read(columns=[c])
         distinct = tab.column(c).unique().to_pylist()
         blooms[c] = build_bloom([v for v in distinct if v is not None])
     return rows, size, stats, blooms, nulls

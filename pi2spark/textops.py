@@ -52,7 +52,13 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic document quality: length, alpha ratio, punctuation
     ratio, mean word length, stopword hit-rate. All ratios rounded to
-    4 decimals (stable across engines)."""
+    4 decimals (stable across engines).
+
+    Regex-heavy per-row work must not inherit a 1-partition layout
+    from a single-file scan (same rationale as the MinHash kernel —
+    ``_ensure_parallelism``): one narrow repartition is a no-op at
+    scale and unlocks every core on a small-file table."""
+    df = _ensure_parallelism(df)
     t = F.col(text_col)
     n = F.length(t).cast("double")
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
