@@ -34,6 +34,22 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             pkg_root + ((os.pathsep + existing) if existing else "")
         )
+    # Shuffle/scratch location (spark.local.dir): belongs on the
+    # fastest local medium — NVMe on a real cluster, tmpfs here. This
+    # sandbox's virtio disk shows 10-100x intermittent syscall stalls
+    # (BENCH/BASELINE.md) and ~20 GB of page-cache writeback per bench
+    # trial already competes for it; routing shuffle files to RAM takes
+    # ~2x the shuffle volume off the disk. Parameterised:
+    # PI2SPARK_LOCAL_DIR wins; default is /dev/shm only when it exists
+    # and has >4x headroom over a plausible shuffle (32 GiB free).
+    local_dir = os.environ.get("PI2SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 32 * (1 << 30):
+                local_dir = "/dev/shm/pi2spark-scratch"
+        except OSError:
+            pass
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -65,7 +81,18 @@ def get_spark(
         # (mtime,size) guard before delegating to the stock daemon —
         # measured 2000-task pandas-UDF stages drop ~10 s on local[32].
         .config("spark.python.daemon.module", "pi2spark.udfdaemon")
+        # Explicit-path scans (every maintenance wave passes its file
+        # list to the reader) trigger a DISTRIBUTED listing job above
+        # this many paths — one tiny task per file: measured 2.4 s per
+        # 1600-file wave at 8 cores, 7.6 s at 2 (a parallelism-hostile
+        # fixed cost). Driver-side stat of a path list is microseconds
+        # per path on any FS, and the wave planner already bounds the
+        # list at DEFAULT_WAVE_FILES (10^4). Object-store deployments
+        # with slow per-path HEADs can lower this via extra_conf.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
