@@ -2,8 +2,12 @@
 
 AQE + Arrow + sane shuffle-partition defaults (BASELINE.json:north_star
 "salted repartitioning and AQE-aware range partitioning"). Local-mode
-testing only here; the same builder flags apply unchanged on a real
-cluster via ``spark-submit --py-files``.
+testing only here; the builder flags apply on a real cluster via
+``spark-submit --py-files`` too, with two caveats: the custom worker
+daemon (``spark.python.daemon.module``) requires the package on the
+EXECUTORS' import path (``--py-files dist/pi2spark.zip`` provides it),
+and ``spark.local.dir`` should point at each node's fastest local
+scratch (``PI2SPARK_LOCAL_DIR``).
 """
 
 from __future__ import annotations
